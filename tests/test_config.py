@@ -1,0 +1,55 @@
+import os
+
+import numpy as np
+
+from grafp_tpu.core.config import Config, load_config, override
+from grafp_tpu.core.rng import reference_shuffle
+
+REF_GRAFP_YAML = os.path.join(os.path.dirname(__file__), "..", "config", "grafp.yaml")
+
+
+def test_load_reference_grafp_yaml():
+    cfg = load_config(REF_GRAFP_YAML)
+    assert cfg.arch == "grafp"
+    assert cfg.fs == 16000
+    assert cfg.n_mels == 64 and cfg.n_frames == 32
+    assert cfg.bsz_train == 256
+    assert cfg.tau == 0.05
+    assert cfg.d == 128 and cfg.h == 1024 and cfg.u == 32
+    assert cfg.tr_snr == [0.0, 20.0]
+    assert cfg["lambda"] == 0.0
+    # dict-style access parity with the reference drivers
+    assert cfg["n_mels"] == 64
+    cfg["val_snr"] = [5, 5]
+    assert cfg.val_snr == [5, 5]
+
+
+def test_derived_quantities():
+    cfg = Config()
+    assert cfg.clip_frames == 16000
+    assert cfg.n_nodes == 1024  # 64 * 32 / 2
+    assert cfg.seg_hop_frames == 3  # int(32 * (1 - 0.9)) == 3
+
+
+def test_override():
+    assert override(5, None) == 5
+    assert override(5, 7) == 7
+
+
+def test_unknown_keys_preserved(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("fs: 8000\nmy_custom_key: 3\n")
+    cfg = load_config(str(p))
+    assert cfg.fs == 8000
+    assert cfg["my_custom_key"] == 3
+    cfg.save(str(tmp_path / "out.yaml"))
+    cfg2 = load_config(str(tmp_path / "out.yaml"))
+    assert cfg2["my_custom_key"] == 3 and cfg2.fs == 8000
+
+
+def test_reference_shuffle_matches_legacy_numpy():
+    idx = reference_shuffle(100)
+    np.random.seed(42)
+    legacy = np.arange(100)
+    np.random.shuffle(legacy)
+    assert np.array_equal(idx, legacy)
