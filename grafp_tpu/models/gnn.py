@@ -1,0 +1,244 @@
+"""ViG-style dynamic-graph encoder (Max-Relative graph convolution).
+
+From-scratch TPU-native redesign of the reference's GraphEncoder
+(encoder/graph_encoder.py:69-191 + encoder/gcn_lib/*): node tensors are
+channels-last (B, N, C); every Grapher block rebuilds a k-NN graph from
+its current features (one MXU matmul + top_k, ops/knn.py) and applies
+MRConv: x' = GroupedConv(interleave(x, max_k(x_nbr) - x)).
+
+Faithfulness notes (verified against the reference source):
+  * size 't': blocks [2,2,6,2], channels [64,128,256,512], 12
+    Grapher+FFN pairs with a stride-2 Downsample between stages
+    (graph_encoder.py:96-99,139-152). N: 1024 -> 512 -> 256 -> 128.
+  * The reference never increments its block counter, so every block
+    effectively runs k=3, dilation=1, drop_path=0
+    (graph_encoder.py:139-151). `dilation_schedule='reference'`
+    reproduces that; 'ramp' gives the presumably-intended
+    min(idx//4+1, 128//k) ramp.
+  * Downsample is Conv2d 3x3 stride (2,2) pad 1 on (B, C, N, 1); with
+    spatial width 1 only the kernel's center column ever touches data,
+    so it is exactly a length-3 stride-2 conv along N
+    (graph_encoder.py:16-28).
+  * MRConv interleaves [x_c, rel_c] channel pairs before the grouped
+    conv (torch_vertex.py:29-32's stack+reshape); the grouped conv has
+    groups=4 (torch_nn.py:56). Since x_i is constant across the k
+    neighbors, max_k(x_j - x_i) == max_k(x_j) - x_i - we hoist the
+    subtraction out of the gather (saves a (B,N,k,C) intermediate).
+  * The sincos relative_pos bias exists in reference state_dicts but is
+    never applied in forward (torch_vertex.py:188-190); we neither
+    build nor store it (the .pth importer drops those keys).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from grafp_tpu.models.layers import (
+    BatchNorm,
+    DropPath,
+    GroupedPointwiseConv,
+    PointwiseConv,
+    act_layer,
+    torch_bias_init,
+    torch_default_init,
+)
+from grafp_tpu.ops.knn import dilate_neighbors, gather_neighbors, knn_graph
+
+SIZE_PRESETS = {
+    # size: (blocks per stage, channels per stage)  graph_encoder.py:96-110
+    "t": ((2, 2, 6, 2), (64, 128, 256, 512)),
+    "s": ((2, 2, 6, 2), (80, 160, 400, 640)),
+    "m": ((2, 2, 16, 2), (96, 192, 384, 768)),
+    "l": ((2, 2, 18, 2), (128, 256, 512, 1024)),
+}
+
+
+class MRConv(nn.Module):
+    """Max-Relative graph conv: out = GroupedConv([x || max_k(x_nbr)-x])
+    with channel interleave, then BN + act (torch_vertex.py:11-34)."""
+
+    out_features: int
+    act: str = "relu"
+    groups: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        # x: (B, N, C), idx: (B, N, k)
+        nbrs = gather_neighbors(x, idx)                    # (B, N, k, C)
+        rel = jnp.max(nbrs, axis=2) - x                    # (B, N, C)
+        # interleave channels: [x_0, rel_0, x_1, rel_1, ...]
+        b, n, c = x.shape
+        y = jnp.stack([x, rel], axis=-1).reshape(b, n, 2 * c)
+        y = GroupedPointwiseConv(
+            self.out_features, groups=self.groups, dtype=self.dtype
+        )(y)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
+        return act_layer(self.act)(y)
+
+
+class Grapher(nn.Module):
+    """fc1 -> dynamic kNN graph -> MRConv (C->2C) -> fc2 (2C->C) + residual
+    (torch_vertex.py:142-194)."""
+
+    features: int
+    k: int = 3
+    dilation: int = 1
+    act: str = "relu"
+    drop_path: float = 0.0
+    knn_block_rows: int = 0
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = x
+        x = PointwiseConv(self.features, dtype=self.dtype, name="fc1")(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(x, train)
+        idx = knn_graph(x, self.k * self.dilation, block_rows=self.knn_block_rows)
+        idx = dilate_neighbors(idx, self.dilation)
+        x = MRConv(
+            self.features * 2, act=self.act, axis_name=self.axis_name,
+            dtype=self.dtype, name="gconv",
+        )(x, idx, train)
+        x = PointwiseConv(self.features, dtype=self.dtype, name="fc2")(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc2_bn")(x, train)
+        x = DropPath(self.drop_path)(x, train)
+        return x + shortcut
+
+
+class FFN(nn.Module):
+    """Pointwise MLP with 4x expansion + residual (graph_encoder.py:45-67).
+    fc convs are bias-free in the reference."""
+
+    features: int
+    hidden: int
+    act: str = "relu"
+    drop_path: float = 0.0
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = x
+        y = PointwiseConv(self.hidden, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(y, train)
+        y = act_layer(self.act)(y)
+        y = PointwiseConv(self.features, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc2_bn")(y, train)
+        y = DropPath(self.drop_path)(y, train)
+        return y + shortcut
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv along the node axis + BN (graph_encoder.py:16-28;
+    see module docstring for the 3x3-on-width-1 == 3x1 equivalence)."""
+
+    features: int
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c_in = x.shape[-1]
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3,),
+            strides=(2,),
+            padding=((1, 1),),
+            kernel_init=torch_default_init,
+            bias_init=torch_bias_init(c_in * 3),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn")(x, train)
+
+
+def dilation_for_block(idx: int, k: int, schedule: str) -> int:
+    """Per-block dilation. 'reference' reproduces the shipped behavior
+    (always 1; see module docstring); 'ramp' is min(idx//4+1, 128//k)
+    (graph_encoder.py:127-128,147 as written)."""
+    if schedule == "reference":
+        return 1
+    return min(idx // 4 + 1, max(128 // k, 1))
+
+
+def drop_path_for_block(idx: int, n_blocks: int, peak: float, schedule: str) -> float:
+    if schedule == "reference":
+        return 0.0
+    if n_blocks <= 1:
+        return peak
+    return peak * idx / (n_blocks - 1)
+
+
+class GraphEncoder(nn.Module):
+    """Isotropic-per-stage ViG pyramid -> (B, emb_dim) embedding
+    (graph_encoder.py:69-191).
+
+    Input: (B, N, C_in) node features (channels last; the reference takes
+    (B, C, N)). Output: (B, emb_dims).
+    """
+
+    size: str = "t"
+    k: int = 3
+    act: str = "relu"
+    emb_dims: int = 1024
+    dilation_schedule: str = "reference"
+    drop_path: float = 0.1
+    drop_path_schedule: str = "reference"
+    knn_block_rows: int = 0
+    remat: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        blocks, channels = SIZE_PRESETS[self.size]
+        n_blocks = sum(blocks)
+
+        # Stem: pointwise conv (bias-free) + BN + LeakyReLU(0.2)
+        # (graph_encoder.py:131-133).
+        x = PointwiseConv(channels[0], use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="stem_bn")(x, train)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+
+        grapher_cls = Grapher
+        ffn_cls = FFN
+        if self.remat:
+            grapher_cls = nn.remat(Grapher, static_argnums=(2,))
+            ffn_cls = nn.remat(FFN, static_argnums=(2,))
+
+        idx = 0
+        for i, (nb, ch) in enumerate(zip(blocks, channels)):
+            if i > 0:
+                x = Downsample(
+                    ch, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"down{i}",
+                )(x, train)
+            for _ in range(nb):
+                dil = dilation_for_block(idx, self.k, self.dilation_schedule)
+                dp = drop_path_for_block(
+                    idx, n_blocks, self.drop_path, self.drop_path_schedule
+                )
+                x = grapher_cls(
+                    ch, k=self.k, dilation=dil, act=self.act, drop_path=dp,
+                    knn_block_rows=self.knn_block_rows,
+                    axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"block{idx}_grapher",
+                )(x, train)
+                x = ffn_cls(
+                    ch, hidden=ch * 4, act=self.act, drop_path=dp,
+                    axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"block{idx}_ffn",
+                )(x, train)
+                idx += 1
+
+        # Projection head: 1x1 conv to emb_dims then mean over nodes
+        # (graph_encoder.py:156,187-188).
+        x = PointwiseConv(self.emb_dims, dtype=self.dtype, name="proj")(x)
+        return jnp.mean(x, axis=1)

@@ -1,0 +1,147 @@
+"""Shared NN building blocks (channels-last, TPU-friendly).
+
+Counterparts of the reference's gcn_lib/torch_nn.py primitives, designed
+for (B, N, C) node tensors: pointwise "convs" are Dense/einsum matmuls
+(MXU), BatchNorm reduces over (B, N), and initializers reproduce the
+reference's effective statistics (torch Conv2d/Linear defaults are
+kaiming-uniform with a=sqrt(5); BasicConv re-inits with kaiming-normal,
+torch_nn.py:68-76).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch nn.Conv2d/nn.Linear default weight init: kaiming_uniform(a=sqrt(5))
+# == variance_scaling(scale=1/3, fan_in, uniform).
+torch_default_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# torch kaiming_normal_ (BasicConv / peak extractor re-init).
+kaiming_normal_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+kaiming_normal_fan_out_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch conv/linear bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def act_layer(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation registry (reference torch_nn.py:9-25)."""
+    name = name.lower()
+    if name == "relu":
+        return nn.relu
+    if name == "leakyrelu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    if name == "gelu":
+        return nn.gelu
+    if name == "hswish":
+        return nn.hard_swish
+    if name == "elu":
+        return nn.elu
+    raise NotImplementedError(f"activation [{name}] is not found")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over (B, N[, ...]) per channel, torch-compatible defaults
+    (eps 1e-5, momentum 0.1 i.e. flax momentum 0.9). Set axis_name to sync
+    statistics across the data mesh axis (the reference's DataParallel
+    uses per-replica stats, so the default is local)."""
+
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )(x)
+
+
+class PointwiseConv(nn.Module):
+    """1x1 conv over node tensors == Dense on the channel axis.
+    (Reference uses nn.Conv2d(C, C', 1) on (B, C, N, 1).)"""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_default_init
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=torch_bias_init(c_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class GroupedPointwiseConv(nn.Module):
+    """Grouped 1x1 conv (reference BasicConv: Conv2d(..., groups=4),
+    torch_nn.py:56). Channels are split into `groups` consecutive blocks;
+    block g of the output sees only block g of the input - a blocked
+    einsum on the MXU."""
+
+    features: int
+    groups: int = 4
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        g = self.groups
+        assert c_in % g == 0 and self.features % g == 0, (c_in, self.features, g)
+        cig, cog = c_in // g, self.features // g
+        # kaiming_normal over the torch fan_in (c_in/groups)
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (g, cig, cog),
+            jnp.float32,
+        )
+        dt = self.dtype or x.dtype
+        xg = x.reshape(*x.shape[:-1], g, cig)
+        y = jnp.einsum(
+            "...gi,gio->...go", xg.astype(dt), w.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        y = y.reshape(*x.shape[:-1], self.features)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth. The reference wires DropPath but its
+    ramp never engages (graph_encoder.py:139-151 never increments the
+    block index, so every block gets rate 0); supported here for the
+    'ramp' schedule."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))

@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grafp_tpu.core.config import Config
+from grafp_tpu.models import GraphEncoder, PeakEmbed, SimCLRModel, build_model
+from grafp_tpu.models.gnn import MRConv, dilation_for_block
+from grafp_tpu.ops.knn import knn_graph
+
+
+def _init(mod, *args, **kwargs):
+    return mod.init({"params": jax.random.key(0)}, *args, **kwargs)
+
+
+# --------------- PeakEmbed ---------------
+
+def test_peak_embed_shapes_and_coords(rng):
+    spec = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32))
+    pe = PeakEmbed()
+    vars_ = _init(pe, spec)
+    out = pe.apply(vars_, spec)
+    assert out.shape == (2, 1024, 8)  # N = 64*32/2 (reference graph_encoder.py:124)
+    # min-max normalized input must be scale-invariant up to coords
+    out2 = pe.apply(vars_, spec * 5 + 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+
+# --------------- MRConv vs independent numpy spec ---------------
+
+def test_mrconv_matches_numpy_spec(rng):
+    B, N, C, k = 2, 12, 8, 3
+    x = rng.randn(B, N, C).astype(np.float32)
+    idx = rng.randint(0, N, size=(B, N, k))
+    m = MRConv(out_features=2 * C)
+    vars_ = m.init(jax.random.key(1), jnp.asarray(x), jnp.asarray(idx), False)
+    got = np.asarray(m.apply(vars_, jnp.asarray(x), jnp.asarray(idx), False))
+
+    # numpy re-derivation of the reference semantics (torch_vertex.py:19-34):
+    # x_j = gather(x, idx); rel = max_k(x_j - x_i); interleave [x, rel];
+    # grouped 1x1 conv (groups=4) + BN(eval: running stats mu=0 var=1) + relu
+    xj = np.stack([[x[b, idx[b, n]] for n in range(N)] for b in range(B)])
+    rel = (xj - x[:, :, None, :]).max(axis=2)
+    inter = np.stack([x, rel], axis=-1).reshape(B, N, 2 * C)
+    W = np.asarray(vars_["params"]["GroupedPointwiseConv_0"]["kernel"])
+    bias = np.asarray(vars_["params"]["GroupedPointwiseConv_0"]["bias"])
+    g, cig, cog = W.shape
+    xg = inter.reshape(B, N, g, cig)
+    y = np.einsum("bngi,gio->bngo", xg, W).reshape(B, N, g * cog) + bias
+    bn = vars_["batch_stats"]["BatchNorm_0"]["BatchNorm_0"]
+    scale = np.asarray(vars_["params"]["BatchNorm_0"]["BatchNorm_0"]["scale"])
+    bias_bn = np.asarray(vars_["params"]["BatchNorm_0"]["BatchNorm_0"]["bias"])
+    mu, var = np.asarray(bn["mean"]), np.asarray(bn["var"])
+    y = (y - mu) / np.sqrt(var + 1e-5) * scale + bias_bn
+    ref = np.maximum(y, 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+# --------------- GraphEncoder ---------------
+
+def test_graph_encoder_forward_tiny(rng):
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))  # tiny N=64
+    enc = GraphEncoder(size="t", k=3)
+    vars_ = _init(enc, x, False)
+    out = enc.apply(vars_, x, False)
+    assert out.shape == (2, 1024)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graph_encoder_param_count():
+    """Analytic parity with the reference encoder (graph_encoder.py size
+    't', in_channels=8): stem 640 + backbone 11,566,336 + downsamples
+    1,550,976 + proj 525,312 = 13,643,264 torch-side trainable params;
+    ours is that minus the provably-dead downsample kernel columns (the
+    3x3 conv on a width-1 input only ever uses its center column;
+    6*64*128 + 6*128*256 + 6*256*512 = 1,032,192 dead weights)."""
+    x = jnp.zeros((1, 64, 8))
+    enc = GraphEncoder(size="t", k=3)
+    vars_ = _init(enc, x, False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vars_["params"]))
+    assert n == 13_643_264 - 1_032_192
+
+
+def test_dilation_schedules():
+    assert [dilation_for_block(i, 3, "reference") for i in range(12)] == [1] * 12
+    assert [dilation_for_block(i, 3, "ramp") for i in range(12)] == [
+        1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    ]
+
+
+def test_graph_encoder_train_mode_updates_stats(rng):
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    enc = GraphEncoder(size="t", k=3)
+    vars_ = _init(enc, x, False)
+    out, updates = enc.apply(
+        vars_, x, True, mutable=["batch_stats"]
+    )
+    assert out.shape == (2, 1024)
+    stem_mean = updates["batch_stats"]["stem_bn"]["BatchNorm_0"]["mean"]
+    assert not np.allclose(np.asarray(stem_mean), 0)
+
+
+# --------------- SimCLR full model ---------------
+
+def test_simclr_full_forward(rng):
+    cfg = Config()
+    model = build_model(cfg)
+    spec = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32))
+    vars_ = model.init({"params": jax.random.key(0)}, spec, False)
+    h, z = model.apply(vars_, spec, False)
+    assert h.shape == (2, 1024)
+    assert z.shape == (2, 128)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(z), axis=-1), np.ones(2), atol=1e-5
+    )
+
+
+def test_simclr_total_param_count():
+    """Full-model analytic parity: the reference SimCLR(GraphEncoder)
+    counts 18,367,264 trainable params (encoder 13,643,264 + peak
+    extractor 1,184 + projector Linear(1024->4096)+Linear(4096->128) =
+    4,722,816); ours is that minus the 1,032,192 dead downsample
+    weights (see test_graph_encoder_param_count)."""
+    cfg = Config()
+    model = build_model(cfg)
+    spec = jnp.zeros((1, 64, 32))
+    vars_ = model.init({"params": jax.random.key(0)}, spec, False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vars_["params"]))
+    assert n == 18_367_264 - 1_032_192
