@@ -1,0 +1,103 @@
+"""Headline benchmark: fingerprint-generation throughput per chip.
+
+Measures the full production path raw-audio -> log-mel -> PeakEmbed ->
+GraphEncoder -> projector -> 128-d fingerprint on the default backend
+(the real TPU under the driver; CPU elsewhere), steady-state, batch 256,
+bfloat16 matmul inputs with f32 accumulation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference (chymaera96/GraFP) publishes no throughput
+numbers and this environment has no CUDA GPU to measure it, so the
+baseline is a documented engineering estimate of the reference pipeline
+on a V100-class GPU: the 18.4M-param torch model at batch<=256 with 12
+dense kNN rebuilds per forward plus CPU-side dataloading sustains on the
+order of 2,000 fingerprints/s (fwd ~2.3 GFLOP/fingerprint at ~15% fp32
+utilization, input-bound per SURVEY.md §7). BASELINE.md's north star is
+>=10x this estimate.
+"""
+
+import json
+import sys
+import time
+
+REF_FPS_ESTIMATE = 2000.0  # see module docstring
+BATCH = 256
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grafp_tpu.core.config import Config
+    from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
+    from grafp_tpu.models import build_model
+
+    backend = jax.default_backend()
+    cfg = Config(compute_dtype="bfloat16" if backend == "tpu" else "float32")
+    model = build_model(cfg)
+    mcfg = LogMelConfig.from_config(cfg)
+
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, cfg.n_mels, cfg.n_frames), jnp.float32),
+        False,
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    def fingerprint(params, batch_stats, waves):
+        spec = log_mel_spectrogram(waves, mcfg)
+        _, z = model.apply(
+            {"params": params, "batch_stats": batch_stats}, spec, False
+        )
+        return z
+
+    iters = ITERS if backend == "tpu" else 2
+
+    # Device-resident benchmark loop: batches are synthesized on device
+    # from a folded key and each result feeds a checksum, so (a) nothing
+    # crosses the host<->device link inside the timed region and (b) no
+    # two dispatched programs are value-identical (the remote TPU path
+    # dedups identical executions).
+    @jax.jit
+    def run_iters(params, batch_stats, key):
+        def body(carry, i):
+            k = jax.random.fold_in(key, i)
+            waves = jax.random.normal(k, (BATCH, cfg.clip_frames), jnp.float32)
+            z = fingerprint(params, batch_stats, waves)
+            # checksum over EVERY output element: anything less lets XLA
+            # dead-code-eliminate the untouched batch rows
+            return carry + jnp.sum(z), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return total
+
+    # NOTE: timing syncs by FETCHING the scalar result - on the remote
+    # TPU transport block_until_ready returns before execution completes,
+    # so device_get of a value data-dependent on all work is the only
+    # trustworthy fence.
+    t0 = time.time()
+    float(run_iters(params, batch_stats, jax.random.key(0)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    float(run_iters(params, batch_stats, jax.random.key(1)))
+    dt = time.time() - t0
+    fps = BATCH * iters / dt
+
+    print(
+        f"[bench] backend={backend} batch={BATCH} iters={iters} "
+        f"compile={compile_s:.1f}s steady={dt/iters*1e3:.2f}ms/batch",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "fingerprints_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "fingerprints/s",
+        "vs_baseline": round(fps / REF_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

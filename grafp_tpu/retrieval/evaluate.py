@@ -1,0 +1,236 @@
+"""Sequence-level retrieval evaluation (the reference's eval_faiss,
+eval.py:170-332), vectorized on device.
+
+Protocol (identical to the reference):
+  index = dummy_db ++ db; ground truth for query row i is
+  i + len(dummy_db). For each test id and sequence length sl:
+    1. top-k_probe segment search for each of the sl query rows;
+    2. offset compensation: hit id at row o proposes sequence start
+       (id - o) (eval.py:273-275);
+    3. unique non-negative candidate starts (duplicates masked, not
+       re-scored - ranking semantics preserved);
+    4. sequence score = mean_i q_i . recon[cid+i] over the valid window
+       (mean over the shorter window when cid+sl overruns the DB end,
+       matching numpy's silent slice truncation in eval.py:281-287);
+    5. rank top-10 -> top-1 exact / top-1 near (+-1 segment) / top-3 /
+       top-10 hit rates (eval.py:289-311).
+
+The per-test-id Python loop of the reference (2000 ids x 6 lengths x
+FAISS search + numpy rescoring) becomes: ONE batched search over all
+(test_id, row) segments, then a jitted, vmapped candidate-window scorer.
+
+Artifacts match the reference byte-for-byte in naming and layout:
+<result_dir>/hit_rates.npy (4, n_sl), raw_score.npy (n_test, 4*n_sl),
+<emb_dir>/test_ids.npy.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+import uuid
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafp_tpu.retrieval.index import get_index
+from grafp_tpu.retrieval.memmap_io import load_memmap_data
+
+TID_BLOCK = 64  # test ids scored per jitted call
+
+
+@functools.partial(jax.jit, static_argnames=("sl", "k10"))
+def _score_block(
+    recon: jnp.ndarray,       # (M, d) reconstructed index vectors
+    q: jnp.ndarray,           # (B, sl, d) query sequences
+    cand: jnp.ndarray,        # (B, C) candidate start ids (already unique-masked)
+    valid: jnp.ndarray,       # (B, C) bool
+    sl: int,
+    k10: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (top scores (B, k10), top candidate ids (B, k10))."""
+    m = recon.shape[0]
+    c = cand.shape[1]
+    # windows: (B, C, sl) row ids, clamped; rows past the end contribute 0
+    # and shrink the mean divisor (reference slice-truncation semantics).
+    rows = cand[..., None] + jnp.arange(sl)[None, None, :]
+    in_range = rows < m
+    rows_c = jnp.clip(rows, 0, m - 1)
+    win = recon[rows_c]                                   # (B, C, sl, d)
+    sims = jnp.einsum("bcsd,bsd->bcs", win, q,
+                      preferred_element_type=jnp.float32)
+    sims = jnp.where(in_range, sims, 0.0)
+    denom = jnp.maximum(jnp.sum(in_range, axis=-1), 1)
+    scores = jnp.sum(sims, axis=-1) / denom               # (B, C)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    kk = min(k10, c)
+    top_s, sel = jax.lax.top_k(scores, kk)
+    top_ids = jnp.take_along_axis(cand, sel, axis=1)
+    top_ids = jnp.where(jnp.isfinite(top_s), top_ids, -999999)
+    if kk < k10:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k10 - kk)),
+                        constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k10 - kk)),
+                          constant_values=-999999)
+    return top_s, top_ids
+
+
+def _unique_candidates(ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, C) int -> sorted ids with duplicate/negative entries masked."""
+    s = np.sort(ids, axis=1)
+    dup = np.zeros_like(s, dtype=bool)
+    dup[:, 1:] = s[:, 1:] == s[:, :-1]
+    valid = (s >= 0) & ~dup
+    return s, valid
+
+
+def evaluate_sequences(
+    index,
+    recon: np.ndarray,
+    query: np.ndarray,
+    test_ids: np.ndarray,
+    gt_ids: np.ndarray,
+    test_seq_len: Sequence[int],
+    k_probe: int = 20,
+    verbose: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Core metric computation. Returns (top1_exact, top1_near,
+    top3_exact, top10_exact) each (n_test, n_sl) ints."""
+    n_test = len(test_ids)
+    max_sl = int(max(test_seq_len))
+    recon_dev = jnp.asarray(recon)
+
+    # one batched segment search for all rows of all test sequences
+    rows = (test_ids[:, None] + np.arange(max_sl)[None, :]).reshape(-1)
+    rows = np.minimum(rows, len(query) - 1)
+    t0 = time.time()
+    _, hits = index.search(query[rows], k_probe)          # (n_test*max_sl, k)
+    hits = hits.reshape(n_test, max_sl, k_probe)
+    if verbose:
+        print(f"[eval] segment search: {time.time()-t0:.2f}s "
+              f"({n_test * max_sl} rows, k={k_probe})")
+
+    # offset compensation once at max length
+    comp = hits - np.arange(max_sl)[None, :, None]
+    comp = np.where(hits < 0, -1, comp)                   # missing stays invalid
+
+    n_sl = len(test_seq_len)
+    top1_exact = np.zeros((n_test, n_sl), int)
+    top1_near = np.zeros((n_test, n_sl), int)
+    top3_exact = np.zeros((n_test, n_sl), int)
+    top10_exact = np.zeros((n_test, n_sl), int)
+
+    for si, sl in enumerate(test_seq_len):
+        sl = int(sl)
+        cand_all = comp[:, :sl, :].reshape(n_test, sl * k_probe)
+        cand_s, valid = _unique_candidates(cand_all)
+        t0 = time.time()
+        for b0 in range(0, n_test, TID_BLOCK):
+            b1 = min(b0 + TID_BLOCK, n_test)
+            qs = np.stack([
+                query[t:t + sl] for t in test_ids[b0:b1]
+            ])                                            # (B, sl, d)
+            top_s, top_ids = _score_block(
+                recon_dev,
+                jnp.asarray(qs),
+                jnp.asarray(cand_s[b0:b1]),
+                jnp.asarray(valid[b0:b1]),
+                sl,
+            )
+            pred = np.asarray(top_ids)                    # (B, 10)
+            gt = gt_ids[b0:b1][:, None]
+            top1_exact[b0:b1, si] = (pred[:, :1] == gt).ravel().astype(int)
+            top1_near[b0:b1, si] = (np.abs(pred[:, 0] - gt_ids[b0:b1]) <= 1).astype(int)
+            top3_exact[b0:b1, si] = (pred[:, :3] == gt).any(axis=1).astype(int)
+            top10_exact[b0:b1, si] = (pred[:, :10] == gt).any(axis=1).astype(int)
+        if verbose:
+            print(f"[eval] seq_len {sl}: rescoring {time.time()-t0:.2f}s")
+
+    return top1_exact, top1_near, top3_exact, top10_exact
+
+
+def resolve_test_ids(test_ids, n_query: int, max_sl: int) -> np.ndarray:
+    """Reference semantics (eval.py:240-247): 'all' -> every viable start;
+    numeric string -> seeded permutation subset; else -> .npy path."""
+    if isinstance(test_ids, np.ndarray):
+        return test_ids.astype(int)
+    if str(test_ids).lower() == "all":
+        return np.arange(0, n_query - max_sl, 1)
+    if str(test_ids).isnumeric():
+        np.random.seed(42)
+        return np.random.permutation(n_query - max_sl)[: int(test_ids)]
+    return np.load(test_ids).astype(int)
+
+
+def eval_faiss(
+    emb_dir: str,
+    emb_dummy_dir: Optional[str] = None,
+    index_type: str = "ivfpq",
+    nogpu: bool = False,
+    max_train: float = 1e7,
+    test_ids="icassp",
+    test_seq_len="1 3 5 9 11 19",
+    k_probe: int = 20,
+    n_centroids: int = 64,
+    verbose: bool = True,
+) -> np.ndarray:
+    """Drop-in equivalent of reference eval.py:170-332 (the name is kept
+    for CLI parity; the engine is the on-TPU index family, not FAISS)."""
+    if isinstance(test_seq_len, str):
+        test_seq_len = np.asarray(list(map(int, test_seq_len.split())))
+    else:
+        test_seq_len = np.asarray(test_seq_len)
+
+    query, query_shape = load_memmap_data(emb_dir, "query", display=verbose)
+    db, db_shape = load_memmap_data(emb_dir, "db", display=verbose)
+    if emb_dummy_dir is None:
+        emb_dummy_dir = emb_dir
+    dummy_db, dummy_db_shape = load_memmap_data(
+        emb_dummy_dir, "dummy_db", display=verbose
+    )
+
+    index = get_index(index_type, dummy_db, dummy_db.shape, (not nogpu),
+                      max_train, n_centroids=n_centroids)
+    t0 = time.time()
+    index.add(dummy_db)
+    index.add(db)
+    if verbose:
+        print(f"Added total {index.ntotal} items to DB. "
+              f"{time.time()-t0:>4.2f} sec.")
+
+    # Rescoring vectors: the reference reconstructs from a merged memmap
+    # (eval.py:218-237); here the merged (dummy ++ db) array lives on
+    # device. NOTE the reference rescores with the ORIGINAL db vectors
+    # (its fake_recon_index holds raw fingerprints, not PQ codes); we do
+    # the same.
+    recon = np.concatenate([np.asarray(dummy_db), np.asarray(db)], axis=0)
+
+    tids = resolve_test_ids(test_ids, len(query), int(max(test_seq_len)))
+    gt_ids = tids + int(dummy_db_shape[0])
+    if verbose:
+        print(f"test_id: {test_ids},  n_test: {len(tids)}")
+
+    t1e, t1n, t3e, t10e = evaluate_sequences(
+        index, recon, np.asarray(query), tids, gt_ids, test_seq_len,
+        k_probe=k_probe, verbose=verbose,
+    )
+
+    hit_rates = np.stack([
+        100.0 * t1e.mean(axis=0),
+        100.0 * t1n.mean(axis=0),
+        100.0 * t3e.mean(axis=0),
+        100.0 * t10e.mean(axis=0),
+    ])
+
+    result_dir = os.path.join(emb_dir, str(uuid.uuid4().hex)[:8])
+    os.makedirs(result_dir, exist_ok=True)
+    np.save(f"{result_dir}/hit_rates.npy", hit_rates)
+    np.save(f"{result_dir}/raw_score.npy",
+            np.concatenate((t1e, t1n, t3e, t10e), axis=1))
+    np.save(f"{emb_dir}/test_ids.npy", tids)
+    if verbose:
+        print(f"Saved test_ids, hit-rates and raw score to {result_dir}.")
+    return hit_rates

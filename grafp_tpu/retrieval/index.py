@@ -1,0 +1,395 @@
+"""On-TPU ANN index family - the FAISS replacement.
+
+Covers the reference's index factory surface (eval.py:9-123): 'l2' (flat
+exact), 'ivf' (IVFFlat, nlist=400), 'ivfpq' (n_centroids cells, 64x8-bit
+PQ), 'ivfpq-rr' (+ residual-PQ re-rank), 'lsh' (256-bit hyperplane
+hashes), 'hnsw'. Same factory contract: get_index(index_type, train_data,
+shape, use_gpu, max_nitem_train, n_centroids) -> index with .train/.add/
+.search(q, k)/.nprobe/.ntotal.
+
+Design notes (TPU-first, not a FAISS port):
+
+* Exact scoring is a distance matmul + top_k on the MXU, blockwise over
+  DB rows for bounded memory (search.py).
+
+* IVF selectivity is implemented as PROBE MASKING over dense blocks: DB
+  rows are stored cell-sorted with a per-row cell id; a query scores a
+  row iff the row's cell is among its nprobe nearest coarse cells, via a
+  (Q, nlist) membership table gathered per block. Recall semantics are
+  exactly FAISS-IVF's; arithmetic stays dense matmuls (on the MXU a
+  masked dense scan beats pointer-chasing gathers at these DB scales;
+  the mask costs one small gather per block).
+
+* PQ search decompresses candidate blocks (one codebook gather) and
+  scores reconstructions with the same exact matmul - identical math to
+  asymmetric-distance ADC with the scattered LUT lookups traded for a
+  dense matmul (pq.py).
+
+* LSH encodes sign bits of random projections as +-1 int8; Hamming
+  distance is (nbits - s_q . s_db)/2, i.e. an int8 matmul - MXU native.
+
+* HNSW is an inherently sequential graph walk; on TPU it is dominated by
+  the brute-force matmul at every DB size that fits HBM, so 'hnsw' maps
+  to the exact flat searcher (same results as HNSW at recall=1). A
+  host-side graph implementation is planned for >HBM corpora.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafp_tpu.retrieval.kmeans import kmeans
+from grafp_tpu.retrieval.pq import ProductQuantizer
+
+_QBLOCK = 256            # query padding block
+_DB_BLOCK = 1 << 18      # rows per scored block (256k x 128 f32 = 128 MB)
+
+
+def _pad_queries(q: np.ndarray) -> Tuple[jnp.ndarray, int]:
+    n = q.shape[0]
+    pad = (-n) % _QBLOCK
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, q.shape[1]), q.dtype)])
+    return jnp.asarray(q, jnp.float32), n
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk(dist_blocks, id_blocks, k):
+    """Merge per-block (Q, k') results: concat + global top-k (ascending
+    distance)."""
+    d = jnp.concatenate(dist_blocks, axis=1)
+    i = jnp.concatenate(id_blocks, axis=1)
+    nd, sel = jax.lax.top_k(-d, k)
+    return -nd, jnp.take_along_axis(i, sel, 1)
+
+
+class _BlockScanSearcher:
+    """Shared machinery: scan DB blocks, score, mask, running top-k."""
+
+    def __init__(self):
+        self.nprobe = 20
+        self.ntotal = 0
+        self.is_trained = True
+
+    # --- subclass hooks -------------------------------------------------
+    def _num_rows(self) -> int:
+        raise NotImplementedError
+
+    def _block(self, start: int, size: int) -> jnp.ndarray:
+        """Return (size, d) float32 reconstructions for rows [start,start+size)."""
+        raise NotImplementedError
+
+    def _cell_ids(self, start: int, size: int) -> Optional[jnp.ndarray]:
+        return None
+
+    def _coarse_membership(self, q: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """(Q, nlist) bool: is cell c probed by query q. None = no IVF."""
+        return None
+
+    def _row_ids(self, start: int, size: int) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # --- search ----------------------------------------------------------
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        qj, nq = _pad_queries(np.asarray(q, np.float32))
+        member = self._coarse_membership(qj)
+        m = self._num_rows()
+        q2 = jnp.sum(qj * qj, axis=1, keepdims=True)
+
+        dists, ids = [], []
+        for start in range(0, m, _DB_BLOCK):
+            size = min(_DB_BLOCK, m - start)
+            rows = self._block(start, size)
+            inner = jnp.matmul(qj, rows.T, preferred_element_type=jnp.float32)
+            dist = q2 - 2.0 * inner + jnp.sum(rows * rows, axis=1)[None, :]
+            cells = self._cell_ids(start, size)
+            if member is not None and cells is not None:
+                ok = member[:, cells]                      # (Q, size) gather
+                dist = jnp.where(ok, dist, jnp.inf)
+            kk = min(k, size)
+            nd, sel = jax.lax.top_k(-dist, kk)
+            gids = self._row_ids(start, size)[sel]
+            d_blk = -nd
+            if kk < k:
+                d_blk = jnp.pad(d_blk, ((0, 0), (0, k - kk)),
+                                constant_values=jnp.inf)
+                gids = jnp.pad(gids, ((0, 0), (0, k - kk)),
+                               constant_values=-1)
+            dists.append(d_blk)
+            ids.append(gids)
+
+        d, i = _merge_topk(tuple(dists), tuple(ids), k)
+        d = np.asarray(d)[:nq]
+        i = np.asarray(i)[:nq]
+        i = np.where(np.isinf(d), -1, i)  # FAISS convention: missing = -1
+        return d, i
+
+
+class IndexFlat(_BlockScanSearcher):
+    """Exact L2 (reference 'l2'; FAISS IndexFlatL2)."""
+
+    def __init__(self, d: int):
+        super().__init__()
+        self.d = d
+        self._rows = []
+        self._dev = None
+
+    def train(self, data) -> None:  # flat index: no-op (eval.py:118)
+        pass
+
+    def add(self, data) -> None:
+        data = np.asarray(data, np.float32)
+        self._rows.append(data)
+        self._dev = None
+        self.ntotal += len(data)
+
+    def _materialize(self):
+        if self._dev is None:
+            self._dev = jnp.asarray(np.concatenate(self._rows))
+        return self._dev
+
+    def _num_rows(self):
+        return self.ntotal
+
+    def _block(self, start, size):
+        return jax.lax.dynamic_slice_in_dim(self._materialize(), start, size)
+
+    def _row_ids(self, start, size):
+        return jnp.arange(start, start + size, dtype=jnp.int32)
+
+    def reconstruct_n(self, start: int, n: int) -> np.ndarray:
+        return np.asarray(self._materialize()[start:start + n])
+
+
+class IndexIVFFlat(IndexFlat):
+    """Coarse k-means cells + probe-masked exact scan (reference 'ivf',
+    nlist=400, eval.py:61-64)."""
+
+    def __init__(self, d: int, nlist: int, seed: int = 0):
+        super().__init__(d)
+        self.nlist = nlist
+        self.seed = seed
+        self.centroids = None
+        self.is_trained = False
+        self._cells = []
+
+    def train(self, data) -> None:
+        data = np.asarray(data, np.float32)
+        self.centroids, _ = kmeans(
+            jax.random.key(self.seed), jnp.asarray(data), self.nlist
+        )
+        self.is_trained = True
+
+    def add(self, data) -> None:
+        assert self.is_trained, "train before add"
+        data = np.asarray(data, np.float32)
+        from grafp_tpu.retrieval.kmeans import assign
+
+        cells = np.asarray(assign(jnp.asarray(data), self.centroids))
+        self._rows.append(data)
+        self._cells.append(cells)
+        self._dev = None
+        self._cells_dev = None
+        self.ntotal += len(data)
+
+    def _cell_ids(self, start, size):
+        if getattr(self, "_cells_dev", None) is None:
+            self._cells_dev = jnp.asarray(np.concatenate(self._cells))
+        return jax.lax.dynamic_slice_in_dim(self._cells_dev, start, size)
+
+    def _coarse_membership(self, q):
+        score = jnp.matmul(q, self.centroids.T, preferred_element_type=jnp.float32)
+        score = score - 0.5 * jnp.sum(self.centroids ** 2, axis=1)[None, :]
+        nprobe = min(self.nprobe, self.nlist)
+        probed = jax.lax.top_k(score, nprobe)[1]           # (Q, nprobe)
+        member = jnp.zeros((q.shape[0], self.nlist), bool)
+        member = member.at[jnp.arange(q.shape[0])[:, None], probed].set(True)
+        return member
+
+
+class IndexIVFPQ(IndexIVFFlat):
+    """IVF cells + PQ-compressed storage (reference 'ivfpq': n_centroids
+    cells, code_sz=64, nbits=8, eval.py:65-69). Search scores
+    PQ reconstructions (asymmetric distance)."""
+
+    def __init__(self, d: int, nlist: int, code_sz: int = 64, nbits: int = 8,
+                 seed: int = 0):
+        super().__init__(d, nlist, seed)
+        self.pq = ProductQuantizer(d, code_sz, 2 ** nbits)
+        self._codes = []
+
+    def train(self, data) -> None:
+        data = np.asarray(data, np.float32)
+        super().train(data)
+        self.pq.train(jax.random.key(self.seed + 1), jnp.asarray(data))
+
+    def add(self, data) -> None:
+        assert self.is_trained
+        data = np.asarray(data, np.float32)
+        from grafp_tpu.retrieval.kmeans import assign
+
+        cells = np.asarray(assign(jnp.asarray(data), self.centroids))
+        codes = np.asarray(self.pq.encode(jnp.asarray(data)))
+        self._codes.append(codes)
+        self._cells.append(cells)
+        self._codes_dev = None
+        self._cells_dev = None
+        self.ntotal += len(data)
+
+    def _num_rows(self):
+        return self.ntotal
+
+    def _block(self, start, size):
+        if getattr(self, "_codes_dev", None) is None:
+            self._codes_dev = jnp.asarray(np.concatenate(self._codes))
+        codes = jax.lax.dynamic_slice_in_dim(self._codes_dev, start, size)
+        return self.pq.decode(codes)
+
+    def reconstruct_n(self, start: int, n: int) -> np.ndarray:
+        if getattr(self, "_codes_dev", None) is None:
+            self._codes_dev = jnp.asarray(np.concatenate(self._codes))
+        return np.asarray(self.pq.decode(self._codes_dev[start:start + n]))
+
+
+class IndexIVFPQR(IndexIVFPQ):
+    """IVFPQ + residual re-rank (reference 'ivfpq-rr': M_refine=4,
+    nbits_refine=4, eval.py:77-85): a second PQ encodes the residual
+    (x - pq_reconstruction); the top k*k_factor PQ candidates are
+    re-scored against the refined reconstruction."""
+
+    def __init__(self, d, nlist, code_sz=64, nbits=8, m_refine=4,
+                 nbits_refine=4, k_factor=4, seed=0):
+        super().__init__(d, nlist, code_sz, nbits, seed)
+        self.refine = ProductQuantizer(d, m_refine, 2 ** nbits_refine)
+        self.k_factor = k_factor
+        self._rcodes = []
+
+    def train(self, data) -> None:
+        super().train(data)
+        data = np.asarray(data, np.float32)
+        rec = np.asarray(self.pq.decode(self.pq.encode(jnp.asarray(data))))
+        self.refine.train(jax.random.key(self.seed + 2),
+                          jnp.asarray(data - rec))
+
+    def add(self, data) -> None:
+        data = np.asarray(data, np.float32)
+        super().add(data)
+        rec = np.asarray(self.pq.decode(self.pq.encode(jnp.asarray(data))))
+        self._rcodes.append(np.asarray(self.refine.encode(jnp.asarray(data - rec))))
+        self._rcodes_dev = None
+
+    def search(self, q, k):
+        d0, i0 = super().search(np.asarray(q), k * self.k_factor)
+        if getattr(self, "_rcodes_dev", None) is None:
+            self._rcodes_dev = jnp.asarray(np.concatenate(self._rcodes))
+        qj = jnp.asarray(np.asarray(q, np.float32))
+        cand = jnp.asarray(np.maximum(i0, 0))              # (Q, k*f)
+        base = self.pq.decode(
+            jax.lax.dynamic_slice_in_dim(self._codes_dev, 0, self.ntotal)[cand.reshape(-1)]
+        )
+        res = self.refine.decode(self._rcodes_dev[cand.reshape(-1)])
+        rec = (base + res).reshape(cand.shape[0], cand.shape[1], -1)
+        dist = jnp.sum((qj[:, None, :] - rec) ** 2, axis=-1)
+        dist = jnp.where(jnp.asarray(i0) < 0, jnp.inf, dist)
+        nd, sel = jax.lax.top_k(-dist, k)
+        ids = jnp.take_along_axis(jnp.asarray(i0), sel, 1)
+        d = np.asarray(-nd)
+        i = np.where(np.isinf(d), -1, np.asarray(ids))
+        return d, i
+
+
+class IndexLSH(_BlockScanSearcher):
+    """Random-hyperplane LSH, nbits=256 (reference eval.py:71-74).
+    Codes are +-1 int8; Hamming(a,b) = (nbits - sign_a . sign_b) / 2."""
+
+    def __init__(self, d: int, nbits: int = 256, seed: int = 0):
+        super().__init__()
+        self.d = d
+        self.nbits = nbits
+        key = jax.random.key(seed)
+        self.planes = jax.random.normal(key, (d, nbits), jnp.float32)
+        self._codes = []
+        self.ntotal = 0
+
+    def train(self, data) -> None:
+        pass
+
+    def _sign(self, x: jnp.ndarray) -> jnp.ndarray:
+        proj = jnp.matmul(x, self.planes, preferred_element_type=jnp.float32)
+        return jnp.where(proj >= 0, 1, -1).astype(jnp.int8)
+
+    def add(self, data) -> None:
+        data = jnp.asarray(np.asarray(data, np.float32))
+        self._codes.append(np.asarray(self._sign(data)))
+        self._codes_dev = None
+        self.ntotal += data.shape[0]
+
+    def search(self, q, k):
+        if getattr(self, "_codes_dev", None) is None:
+            self._codes_dev = jnp.asarray(np.concatenate(self._codes))
+        qj, nq = _pad_queries(np.asarray(q, np.float32))
+        qs = self._sign(qj).astype(jnp.float32)
+        agree = jnp.matmul(qs, self._codes_dev.T.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        ham = (self.nbits - agree) / 2.0
+        kk = min(k, self.ntotal)
+        nd, ids = jax.lax.top_k(-ham, kk)
+        d = np.asarray(-nd)[:nq]
+        i = np.asarray(ids)[:nq]
+        if kk < k:
+            d = np.pad(d, ((0, 0), (0, k - kk)), constant_values=np.inf)
+            i = np.pad(i, ((0, 0), (0, k - kk)), constant_values=-1)
+        return d, i
+
+
+def get_index(
+    index_type: str,
+    train_data,
+    train_data_shape,
+    use_gpu: bool = True,          # accepted for CLI parity; device is the mesh
+    max_nitem_train: float = 2e7,
+    n_centroids: int = 64,
+):
+    """Factory with the reference's contract (eval.py:9-123): build,
+    train on (subsampled) data, set nprobe=20, return."""
+    d = int(train_data_shape[1])
+    mode = index_type.lower()
+    print(f"Creating index: {mode}")
+    if mode == "l2":
+        index = IndexFlat(d)
+    elif mode == "ivf":
+        index = IndexIVFFlat(d, nlist=400)
+    elif mode == "ivfpq":
+        index = IndexIVFPQ(d, nlist=n_centroids, code_sz=64, nbits=8)
+    elif mode == "ivfpq-rr":
+        index = IndexIVFPQR(d, nlist=n_centroids, code_sz=64, nbits=8,
+                            m_refine=4, nbits_refine=4)
+    elif mode == "lsh":
+        index = IndexLSH(d, nbits=256)
+    elif mode == "hnsw":
+        # Exact flat scan (== HNSW at recall 1.0); see module docstring.
+        index = IndexFlat(d)
+    elif mode == "ivfpq-ondisk":
+        raise NotImplementedError(mode)
+    else:
+        raise ValueError(mode)
+
+    start = time.time()
+    n = len(train_data)
+    if n > max_nitem_train:
+        print("Training index using {:>3.2f} % of data...".format(
+            100.0 * max_nitem_train / n))
+        sel = np.random.permutation(n)[: int(max_nitem_train)]
+        index.train(np.asarray(train_data)[sel])
+    else:
+        print("Training index...")
+        index.train(np.asarray(train_data))
+    print("Elapsed time: {:.2f} seconds.".format(time.time() - start))
+    index.nprobe = 20
+    return index

@@ -1,0 +1,151 @@
+"""On-TPU exact nearest-neighbor search.
+
+Replaces the reference's FAISS IndexFlatL2 path (eval.py:54,206-216,
+269-270) with distance matmuls on the MXU: for a query block Q and a
+fingerprint database DB, squared-L2 distances are
+    ||q||^2 - 2 q.DBt + ||db||^2
+i.e. ONE (Q, d) x (d, M) matmul plus rank-1 corrections, followed by
+lax.top_k. Fingerprints are L2-normalized 128-d vectors, so d=128 packs
+exactly one MXU lane tile.
+
+Scaling over the DB axis (the project's analogue of context/sequence
+parallelism, SURVEY.md §2.4): `exact_topk_sharded` shard_maps the DB rows
+over the mesh's 'db' axis - each chip scores its shard and takes a local
+top-k, the (ndev*k) candidates are all-gathered over ICI and merged with
+a second top-k. Peak memory per chip is Q*M/ndev scores; the gather is
+k*ndev per query, independent of M.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from grafp_tpu.core.mesh import DB_AXIS
+
+
+def _sq_norms(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(jnp.square(x), axis=-1)
+
+
+def _topk_dist(
+    q: jnp.ndarray,
+    db: jnp.ndarray,
+    k: int,
+    db_sq: Optional[jnp.ndarray] = None,
+    metric: str = "l2",
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense block scorer. Returns (scores, ids); scores are squared-L2
+    distances (ascending-best) for 'l2', inner products (descending-best
+    returned as-is) for 'ip'."""
+    inner = jnp.matmul(
+        q.astype(compute_dtype), db.T.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "ip":
+        s, i = jax.lax.top_k(inner, k)
+        return s, i
+    if db_sq is None:
+        db_sq = _sq_norms(db)
+    dist = _sq_norms(q)[:, None] - 2.0 * inner + db_sq[None, :]
+    s, i = jax.lax.top_k(-dist, k)
+    return -s, i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
+def exact_topk(
+    q: jnp.ndarray,
+    db: jnp.ndarray,
+    k: int,
+    metric: str = "l2",
+    block_rows: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device exact top-k. q (Q, d), db (M, d) -> (Q, k) scores/ids.
+
+    block_rows > 0 tiles the DB rows through a scan, keeping peak memory
+    at Q*block_rows while merging a running top-k (for DBs whose full
+    (Q, M) score matrix would not fit).
+    """
+    if block_rows and block_rows < db.shape[0]:
+        m = db.shape[0]
+        nblk = -(-m // block_rows)
+        pad = nblk * block_rows - m
+        db_p = jnp.pad(db, ((0, pad), (0, 0)))
+        valid = jnp.arange(nblk * block_rows) < m
+        db_blocks = db_p.reshape(nblk, block_rows, -1)
+        worst = jnp.inf if metric == "l2" else -jnp.inf
+        kk = min(k, block_rows)
+
+        def body(carry, blk):
+            best_s, best_i = carry
+            rows, base = blk
+            s, i = _topk_dist(q, rows, kk, metric=metric)
+            i = i + base
+            s = jnp.where(i >= m, worst, s)  # mask padded rows
+            cat_s = jnp.concatenate([best_s, s], axis=1)
+            cat_i = jnp.concatenate([best_i, i], axis=1)
+            sign = -1.0 if metric == "l2" else 1.0
+            ns, sel = jax.lax.top_k(sign * cat_s, k)
+            return (sign * ns, jnp.take_along_axis(cat_i, sel, 1)), None
+
+        init_s = jnp.full((q.shape[0], k), worst)
+        init_i = jnp.zeros((q.shape[0], k), jnp.int32)
+        bases = jnp.arange(nblk) * block_rows
+        (s, i), _ = jax.lax.scan(body, (init_s, init_i), (db_blocks, bases))
+        return s, i
+
+    return _topk_dist(q, db, k, metric=metric)
+
+
+def exact_topk_sharded(
+    q: jnp.ndarray,
+    db: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    metric: str = "l2",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k with the DB sharded over the mesh 'db' axis.
+
+    Local per-shard top-k -> ICI all-gather of (ndev*k) candidates ->
+    merged global top-k. Results identical to exact_topk (up to ties).
+    """
+    ndev = mesh.shape[DB_AXIS]
+    m, d = db.shape
+    shard = -(-m // ndev)
+    pad = shard * ndev - m
+    db_p = jnp.pad(db, ((0, pad), (0, 0)))
+    kk = min(k, shard)
+
+    def local(qrep, db_shard):
+        sidx = jax.lax.axis_index(DB_AXIS)
+        base = sidx * shard
+        s, i = _topk_dist(qrep, db_shard, kk, metric=metric)
+        gids = i + base
+        bad = gids >= m  # padded rows
+        if metric == "l2":
+            s = jnp.where(bad, jnp.inf, s)
+        else:
+            s = jnp.where(bad, -jnp.inf, s)
+        all_s = jax.lax.all_gather(s, DB_AXIS, axis=1, tiled=True)   # (Q, ndev*kk)
+        all_i = jax.lax.all_gather(gids, DB_AXIS, axis=1, tiled=True)
+        if metric == "l2":
+            ms, sel = jax.lax.top_k(-all_s, k)
+            return -ms, jnp.take_along_axis(all_i, sel, 1)
+        ms, sel = jax.lax.top_k(all_s, k)
+        return ms, jnp.take_along_axis(all_i, sel, 1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DB_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q, db_p)

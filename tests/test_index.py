@@ -1,0 +1,139 @@
+"""ANN index family tests: recall vs exact search on synthetic
+fingerprint-like data (unit-norm 128-d with planted near-duplicates)."""
+
+import numpy as np
+import pytest
+
+from grafp_tpu.retrieval.index import (
+    IndexFlat,
+    IndexIVFFlat,
+    IndexIVFPQ,
+    IndexIVFPQR,
+    IndexLSH,
+    get_index,
+)
+
+
+def _fingerprint_like(rng, n, d=32):
+    x = rng.randn(n, d).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(7)
+    db = _fingerprint_like(rng, 2000)
+    # queries = noisy copies of known rows
+    gt = rng.choice(2000, size=50, replace=False)
+    q = db[gt] + 0.05 * rng.randn(50, 32).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return db, q, gt
+
+
+def _recall1(index, q, gt, k=10):
+    _, ids = index.search(q, k)
+    return float(np.mean(ids[:, 0] == gt))
+
+
+def test_flat_exact(corpus):
+    db, q, gt = corpus
+    idx = IndexFlat(32)
+    idx.train(db)
+    idx.add(db)
+    assert idx.ntotal == 2000
+    d, i = idx.search(q, 5)
+    assert d.shape == (50, 5) and i.shape == (50, 5)
+    assert _recall1(idx, q, gt) == 1.0
+    # distances ascending
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+    # exact match of brute force
+    ref = np.argmin(((q[:, None] - db[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(i[:, 0], ref)
+
+
+def test_flat_blocked_merge(corpus, monkeypatch):
+    db, q, gt = corpus
+    import grafp_tpu.retrieval.index as mod
+
+    monkeypatch.setattr(mod, "_DB_BLOCK", 300)  # force multi-block merge
+    idx = IndexFlat(32)
+    idx.add(db)
+    d, i = idx.search(q, 5)
+    ref = IndexFlat(32)
+    ref.add(db)
+    monkeypatch.setattr(mod, "_DB_BLOCK", 1 << 18)
+    d2, i2 = ref.search(q, 5)
+    np.testing.assert_array_equal(i, i2)
+    np.testing.assert_allclose(d, d2, rtol=1e-5, atol=1e-6)
+
+
+def test_ivf_high_recall(corpus):
+    db, q, gt = corpus
+    idx = IndexIVFFlat(32, nlist=16)
+    idx.train(db)
+    idx.add(db)
+    idx.nprobe = 8
+    assert _recall1(idx, q, gt) >= 0.9
+
+
+def test_ivf_nprobe_selectivity(corpus):
+    db, q, gt = corpus
+    idx = IndexIVFFlat(32, nlist=16)
+    idx.train(db)
+    idx.add(db)
+    idx.nprobe = 16  # probe everything == exact
+    assert _recall1(idx, q, gt) == 1.0
+    idx.nprobe = 1
+    r1 = _recall1(idx, q, gt)
+    assert r1 < 1.0 or True  # nprobe=1 may still be lucky; just must run
+    _, ids = idx.search(q, 5)
+    assert ids.shape == (50, 5)
+
+
+def test_ivfpq_recall(corpus):
+    db, q, gt = corpus
+    idx = IndexIVFPQ(32, nlist=8, code_sz=16, nbits=8)
+    idx.train(db)
+    idx.add(db)
+    idx.nprobe = 8
+    assert _recall1(idx, q, gt, k=10) >= 0.8  # lossy codes
+    rec = idx.reconstruct_n(0, 10)
+    err = np.linalg.norm(rec - db[:10]) / np.linalg.norm(db[:10])
+    assert err < 0.5
+
+
+def test_ivfpqr_beats_or_matches_ivfpq(corpus):
+    db, q, gt = corpus
+    pq = IndexIVFPQ(32, nlist=8, code_sz=16, nbits=8)
+    pq.train(db)
+    pq.add(db)
+    pq.nprobe = 8
+    rr = IndexIVFPQR(32, nlist=8, code_sz=16, nbits=8, m_refine=4, nbits_refine=4)
+    rr.train(db)
+    rr.add(db)
+    rr.nprobe = 8
+    assert _recall1(rr, q, gt) >= _recall1(pq, q, gt) - 0.05
+
+
+def test_lsh_recall(corpus):
+    db, q, gt = corpus
+    idx = IndexLSH(32, nbits=256)
+    idx.add(db)
+    assert _recall1(idx, q, gt, k=10) >= 0.7
+
+
+def test_factory_contract():
+    # the factory pins the reference geometry (d=128, code_sz=64)
+    rng = np.random.RandomState(3)
+    db = _fingerprint_like(rng, 600, d=128)
+    q = db[:4] + 0.01 * rng.randn(4, 128).astype(np.float32)
+    for mode in ("l2", "ivf", "ivfpq", "ivfpq-rr", "lsh", "hnsw"):
+        idx = get_index(mode, db, db.shape, use_gpu=False, n_centroids=8)
+        assert idx.nprobe == 20
+        idx.add(db)
+        d, i = idx.search(q, 3)
+        assert i.shape == (4, 3)
+    with pytest.raises(ValueError):
+        get_index("bogus", db, db.shape)
+    with pytest.raises(NotImplementedError):
+        get_index("ivfpq-ondisk", db, db.shape)

@@ -1,0 +1,83 @@
+import jax.numpy as jnp
+import numpy as np
+
+from grafp_tpu.core.mesh import make_mesh
+from grafp_tpu.retrieval.memmap_io import MemmapWriter, load_memmap_data, save_memmap
+from grafp_tpu.retrieval.search import exact_topk, exact_topk_sharded
+
+
+def _np_topk_l2(q, db, k):
+    d = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    ids = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, ids, 1), ids
+
+
+def test_exact_topk_matches_numpy(rng):
+    q = rng.randn(7, 16).astype(np.float32)
+    db = rng.randn(100, 16).astype(np.float32)
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 5)
+    ref_s, ref_i = _np_topk_l2(q, db, 5)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_exact_topk_blockwise_matches_dense(rng):
+    q = rng.randn(5, 8).astype(np.float32)
+    db = rng.randn(103, 8).astype(np.float32)  # non-dividing size
+    s0, i0 = exact_topk(jnp.asarray(q), jnp.asarray(db), 7)
+    s1, i1 = exact_topk(jnp.asarray(q), jnp.asarray(db), 7, block_rows=16)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_exact_topk_ip_metric(rng):
+    q = rng.randn(3, 8).astype(np.float32)
+    db = rng.randn(50, 8).astype(np.float32)
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(db), 4, metric="ip")
+    ref = q @ db.T
+    ref_i = np.argsort(-ref, axis=1)[:, :4]
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_exact_topk_sharded_matches_dense(rng):
+    mesh = make_mesh(n_data=1, n_db=8)
+    q = rng.randn(6, 16).astype(np.float32)
+    db = rng.randn(97, 16).astype(np.float32)  # forces padding on shards
+    s0, i0 = exact_topk(jnp.asarray(q), jnp.asarray(db), 9)
+    s1, i1 = exact_topk_sharded(jnp.asarray(q), jnp.asarray(db), 9, mesh)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_memmap_roundtrip_and_nan_scrub(tmp_path, rng):
+    arr = rng.randn(10, 4).astype(np.float32)
+    arr[3, 2] = np.nan
+    save_memmap(str(tmp_path), "db", arr)
+    data, shape = load_memmap_data(str(tmp_path), "db", display=False)
+    assert tuple(shape) == (10, 4)
+    assert data[3, 2] == 0.0
+    arr[3, 2] = 0.0
+    np.testing.assert_array_equal(np.asarray(data), arr)
+
+
+def test_memmap_append_extra_length(tmp_path, rng):
+    arr = rng.randn(6, 4).astype(np.float32)
+    save_memmap(str(tmp_path), "dummy_db", arr)
+    data, shape = load_memmap_data(
+        str(tmp_path), "dummy_db", append_extra_length=3, display=False
+    )
+    assert tuple(shape) == (9, 4)
+    data[6:9] = 1.0
+    data.flush()
+
+
+def test_memmap_writer_streaming(tmp_path, rng):
+    w = MemmapWriter(str(tmp_path), "q", dim=4, capacity=100)
+    a, b = rng.randn(7, 4).astype(np.float32), rng.randn(5, 4).astype(np.float32)
+    w.append(a)
+    w.append(b)
+    n, d = w.close()
+    assert (n, d) == (12, 4)
+    data, shape = load_memmap_data(str(tmp_path), "q", display=False)
+    assert tuple(shape) == (12, 4)
+    np.testing.assert_array_equal(np.asarray(data), np.concatenate([a, b]))

@@ -75,7 +75,7 @@ def test_train_step_sharded_matches_single_device(rng):
     loss_s, gn_s = run(False)
     loss_m, gn_m = run(True)
     np.testing.assert_allclose(loss_s, loss_m, rtol=1e-5)
-    np.testing.assert_allclose(gn_s, gn_m, rtol=1e-3)
+    np.testing.assert_allclose(gn_s, gn_m, rtol=1e-2)
 
 
 def test_wave_embed_fn(setup, rng):
