@@ -1,0 +1,215 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from grafp_tpu.core.config import Config
+from grafp_tpu.data.audio_io import AudioDecodeError, _read_wav, load_audio, save_wav
+from grafp_tpu.data.dataset import FingerprintDataset, PairBatcher, TrackLoader, qtile_norm
+from grafp_tpu.data.indexing import load_augmentation_index, load_index, update_index
+from grafp_tpu.data.resample import resample_sinc
+from tests.fixtures import make_wav_dir
+
+
+# ---------------- audio io ----------------
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = np.clip(rng.randn(8000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    save_wav(p, x, 16000)
+    y, sr = load_audio(p)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, rtol=0, atol=1.0 / 32000)
+
+
+def test_wav_float32_and_24bit(tmp_path, rng):
+    import struct
+    import wave as wave_mod
+
+    x = (rng.randn(1000) * 0.3).astype(np.float32)
+    # float32 RIFF written by hand
+    p = str(tmp_path / "f32.wav")
+    body = x.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    with open(p, "wb") as f:
+        sz = 4 + 8 + len(fmt) + 8 + len(body)
+        f.write(b"RIFF" + struct.pack("<I", sz) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(body)) + body)
+    y, sr = load_audio(p)
+    assert sr == 8000
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    # 24-bit via stdlib wave
+    p24 = str(tmp_path / "s24.wav")
+    vals = np.clip(x * (1 << 23), -(1 << 23), (1 << 23) - 1).astype(np.int32)
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    with wave_mod.open(p24, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(raw)
+    y24, _ = load_audio(p24)
+    np.testing.assert_allclose(y24, x, atol=2e-7 + 1.0 / (1 << 23))
+
+
+def test_stereo_downmix(tmp_path):
+    sr = 8000
+    left = np.ones(100, np.float32) * 0.5
+    right = -np.ones(100, np.float32) * 0.5
+    stereo = np.stack([left, right], axis=1)
+    p = str(tmp_path / "st.wav")
+    save_wav(p, stereo, sr)
+    y, _ = load_audio(p, mono=True)
+    np.testing.assert_allclose(y, np.zeros(100), atol=1e-4)
+
+
+def test_mp3_gated_without_ffmpeg(tmp_path, monkeypatch):
+    import shutil as sh
+
+    monkeypatch.setattr(sh, "which", lambda name: None)
+    p = str(tmp_path / "x.mp3")
+    open(p, "wb").write(b"\xff\xfb junk")
+    with pytest.raises(AudioDecodeError, match="ffmpeg"):
+        load_audio(p)
+
+
+# ---------------- resample ----------------
+
+def test_resample_length_and_tone():
+    sr_in, sr_out = 22050, 16000
+    t = np.arange(22050) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample_sinc(x, sr_in, sr_out)
+    assert len(y) == int(np.ceil(len(x) * sr_out / sr_in))
+    # the resampled signal should still be a 440 Hz tone
+    t2 = np.arange(len(y)) / sr_out
+    ref = np.sin(2 * np.pi * 440 * t2).astype(np.float32)
+    core = slice(200, -200)
+    corr = np.corrcoef(y[core], ref[core])[0, 1]
+    assert corr > 0.999
+    assert abs(np.abs(y[core]).max() - 1.0) < 0.02
+
+
+def test_resample_identity():
+    x = np.random.RandomState(0).randn(500).astype(np.float32)
+    np.testing.assert_array_equal(resample_sinc(x, 16000, 16000), x)
+
+
+def test_resample_downsample_antialiases():
+    # 7 kHz tone sampled at 16k, downsampled to 8k: above the new Nyquist
+    # -> should be attenuated, not aliased at full amplitude
+    t = np.arange(16000) / 16000
+    x = np.sin(2 * np.pi * 7900 * t).astype(np.float32)
+    y = resample_sinc(x, 16000, 8000)
+    assert np.abs(y[100:-100]).max() < 0.5
+
+
+# ---------------- indexing ----------------
+
+def test_load_index_glob_and_cache(tmp_path):
+    wavs = make_wav_dir(str(tmp_path / "audio"), n=6, dur_s=0.2)
+    cfg = Config(train_sz=4, data_dir=str(tmp_path / "cache"))
+    os.makedirs(cfg.data_dir, exist_ok=True)
+    idx = load_index(cfg, str(tmp_path / "audio"), mode="train")
+    assert len(idx) == 4
+    assert set(idx.keys()) == {"0", "1", "2", "3"}
+    # cached json reused
+    idx2 = load_index(cfg, str(tmp_path / "audio"), mode="train")
+    assert idx == idx2
+    # direct json path load
+    jp = os.path.join(cfg.data_dir, "audio.json")
+    idx3 = load_index(cfg, jp)
+    assert idx3 == idx
+
+
+def test_load_augmentation_index_split(tmp_path):
+    make_wav_dir(str(tmp_path / "noise"), n=10, dur_s=0.1, kind="noise")
+    ds = load_augmentation_index(str(tmp_path / "noise"), splits=0.8)
+    assert len(ds["train"]) == 8 and len(ds["test"]) == 2
+    # seeded split reproducible
+    os.remove(os.path.join(str(tmp_path / "noise"), "noise.json"))
+    ds2 = load_augmentation_index(str(tmp_path / "noise"), splits=0.8)
+    assert ds == ds2
+
+
+def test_update_index(tmp_path):
+    idx_path = str(tmp_path / "myset.json")
+    json.dump({"0": "/old/root/myset/sub/a.wav"}, open(idx_path, "w"))
+    update_index("/new/root", idx_path)
+    got = json.load(open(idx_path))
+    assert got["0"] == "/new/root/sub/a.wav"
+
+
+# ---------------- dataset ----------------
+
+@pytest.fixture(scope="module")
+def audio_dir(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tracks")
+    make_wav_dir(str(p), n=6, dur_s=3.0, sr=8000)
+    return p
+
+
+def _cfg(audio_dir, tmp_path, **kw):
+    kw.setdefault("fs", 8000)
+    kw.setdefault("train_sz", 6)
+    kw.setdefault("val_sz", 6)
+    return Config(data_dir=str(tmp_path), **kw)
+
+
+def test_dataset_train_pairs(audio_dir, tmp_path):
+    cfg = _cfg(audio_dir, tmp_path)
+    ds = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0)
+    x_i, x_j = ds[0]
+    assert x_i.shape == (8000,) and x_j.shape == (8000,)
+    assert x_i.dtype == np.float32
+    # crops come from the same region but differ (offset pair)
+    assert not np.array_equal(x_i, x_j)
+    # qtile norm applied: amplitudes of order 1
+    assert 0.05 < np.abs(x_i).max() < 20
+
+
+def test_dataset_val_full_track(audio_dir, tmp_path):
+    cfg = _cfg(audio_dir, tmp_path)
+    ds = FingerprintDataset(cfg, str(audio_dir), train=False)
+    track = ds[1]
+    assert track.ndim == 1 and len(track) == 3 * 8000
+
+
+def test_dataset_error_budget(tmp_path):
+    d = tmp_path / "bad"
+    os.makedirs(d)
+    for i in range(3):
+        open(d / f"bad_{i}.wav", "wb").write(b"not audio")
+    make_wav_dir(str(d), n=1, dur_s=2.0, sr=8000, seed=5)
+    cfg = Config(fs=8000, train_sz=4, val_sz=4, data_dir=str(tmp_path),
+                 error_threshold=1)
+    ds = FingerprintDataset(cfg, str(d), train=True, seed=0)
+    x_i, x_j = ds[0]  # must skip corrupt files and find the good one
+    assert x_i.shape == (8000,)
+
+
+def test_pair_batcher(audio_dir, tmp_path):
+    cfg = _cfg(audio_dir, tmp_path)
+    ds = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0)
+    batcher = PairBatcher(ds, batch_size=2, num_threads=2)
+    batches = list(batcher)
+    assert len(batches) == 3  # 6 tracks / bsz 2, drop_last
+    for xi, xj in batches:
+        assert xi.shape == (2, 8000) and xj.shape == (2, 8000)
+
+
+def test_track_loader(audio_dir, tmp_path):
+    cfg = _cfg(audio_dir, tmp_path)
+    ds = FingerprintDataset(cfg, str(audio_dir), train=False)
+    loader = TrackLoader(ds, [2, 0])
+    tracks = list(loader)
+    assert len(tracks) == 2 and all(t.ndim == 1 for t in tracks)
+
+
+def test_qtile_norm_matches_reference_quantile(rng):
+    y = rng.randn(1000)
+    import torch
+
+    ref = 1e-8 + torch.quantile(torch.tensor(y).abs(), q=0.95).item()
+    np.testing.assert_allclose(qtile_norm(y, 0.95), ref, rtol=1e-6)
