@@ -1,0 +1,224 @@
+"""Evaluation driver with the reference CLI contract (test_fp.py:34-57).
+
+Supports both checkpoint formats: the reference's torch ``.pth`` (via
+the importer) and this framework's Orbax directories; the test_config
+epoch lists and the tc_27/29/30/31 offset/overlap ablation presets are
+honored (test_fp.py:184-198), as are the frozen `<name>_indices.npy`
+splits and `--test_snr` pinning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Neuralfp Testing")
+    p.add_argument("--config", default="config/grafp.yaml", type=str)
+    p.add_argument("--test_config", default="config/test_config.yaml", type=str)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--test_dir", default="data/fma_medium.json", type=str)
+    p.add_argument("--noise_idx", default=None, type=str)
+    p.add_argument("--noise_split", default="all", type=str)
+    p.add_argument("--fp_dir", default="fingerprints", type=str)
+    p.add_argument("--query_lens", default=None, type=str)
+    p.add_argument("--encoder", default="grafp", type=str)
+    p.add_argument("--n_dummy_db", default=None, type=int)
+    p.add_argument("--n_query_db", default=500, type=int)
+    p.add_argument("--small_test", action="store_true", default=False)
+    p.add_argument("--text", default="test", type=str)
+    p.add_argument("--test_snr", default=None, type=int)
+    p.add_argument("--recompute", action="store_true", default=False)
+    p.add_argument("--k", default=3, type=int)
+    p.add_argument("--model", default=None, type=str)
+    p.add_argument("--test_ids", default="2000", type=str)
+    p.add_argument("--shuffle", action="store_true", default=False)
+    return p
+
+
+def create_table(hit_rates, overlap, dur, test_seq_len=(1, 3, 5, 9, 11, 19),
+                 text="test") -> str:
+    """HTML hit-rate table (reference test_fp.py:63-85)."""
+    from grafp_tpu.utils.helpers import seconds_from_query_len
+
+    table = f"""<table>
+    <tr>
+    <th colspan="5"{text}</th>
+    <th>Query Length</th>
+    <th>Top-1 Exact</th>
+    <th>Top-1 Near</th>
+    <th>Top-3 Exact</th>
+    <th>Top-10 Exact</th>
+    </tr>
+    """
+    for idx, q_len in enumerate(test_seq_len):
+        table += f"""
+        <tr>
+        <td>{seconds_from_query_len(q_len, overlap, dur)}</td>
+        <td>{hit_rates[0][idx]}</td>
+        <td>{hit_rates[1][idx]}</td>
+        <td>{hit_rates[2][idx]}</td>
+        <td>{hit_rates[3][idx]}</td>
+        </tr>
+        """
+    return table + "</table>"
+
+
+def load_any_checkpoint(ckp_path: str, model, cfg):
+    """(params, batch_stats) from a torch .pth or an Orbax dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from grafp_tpu.train.checkpoint import import_torch_checkpoint, load_ckp
+
+    if ckp_path.endswith(".pth"):
+        params, batch_stats, _ = import_torch_checkpoint(ckp_path)
+        return params, batch_stats
+    restored = load_ckp(ckp_path)
+    return restored["params"], restored["batch_stats"]
+
+
+def resolve_ckpt_path(model_folder: str, ckp_name: str, epoch) -> str:
+    """Prefer the reference's .pth naming, else our Orbax dirs."""
+    pth = os.path.join(model_folder, f"model_{ckp_name}_{epoch}.pth")
+    if os.path.isfile(pth):
+        return pth
+    orbax = os.path.join(model_folder, f"model_{ckp_name}_{epoch}")
+    return orbax
+
+
+def main(argv=None):
+    import jax
+    import yaml
+
+    from grafp_tpu.core.config import load_config
+    from grafp_tpu.data.dataset import (
+        FingerprintDataset, TrackLoader, build_augment_banks,
+    )
+    from grafp_tpu.data.indexing import load_augmentation_index
+    from grafp_tpu.fp.builder import (
+        FingerprintPipeline, create_dummy_db, create_fp_db,
+    )
+    from grafp_tpu.models import build_model
+    from grafp_tpu.retrieval.evaluate import eval_faiss
+    from grafp_tpu.utils.helpers import (
+        TensorBoardWriter, create_fp_dir, query_len_from_seconds,
+    )
+
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config)
+    data_dir = cfg["data_dir"]
+    if args.test_snr is not None:
+        cfg["val_snr"] = [int(args.test_snr), int(args.test_snr)]
+    if args.test_dir == "data/fma_medium.json":
+        cfg["val_sz"] = 25000
+    else:
+        cfg["val_sz"] = 106574
+
+    with open(args.test_config) as fp:
+        test_cfg = yaml.safe_load(fp)
+
+    assert args.shuffle is False
+
+    # ----- ablation presets (test_fp.py:184-198) -----
+    if args.model is not None:
+        test_cfg = {args.model: test_cfg[args.model]}
+        presets = {
+            "tc_27": (0.2, 0.5), "tc_29": (0.05, 0.9),
+            "tc_30": (0.1, 0.8), "tc_31": (0.125, 0.75),
+        }
+        if args.model in presets:
+            cfg["offset"], cfg["overlap"] = presets[args.model]
+
+    print("Creating new model...")
+    if args.encoder == "resnet":
+        raise NotImplementedError
+    cfg["arch"] = args.encoder
+    cfg["k"] = args.k
+    model = build_model(cfg)
+
+    print("Creating dataloaders ...")
+    if args.noise_idx is not None:
+        noise_test = load_augmentation_index(
+            cfg["noise_dir"], json_path=args.noise_idx, splits=0.8
+        )[args.noise_split]
+    else:
+        noise_test = load_augmentation_index(cfg["noise_dir"], splits=0.8)["test"]
+    ir_test = load_augmentation_index(cfg["ir_dir"], splits=0.8)["test"]
+    banks = build_augment_banks(noise_test, ir_test, cfg["fs"])
+    # "sanir" in --text disables IR corruption of queries (test_fp.py:223-231)
+    ir_prob = 0.0 if "sanir" in args.text else 1.0
+    if ir_prob == 0.0:
+        print("Queries without IR augmentation!")
+
+    dataset = FingerprintDataset(cfg, path=args.test_dir, train=False)
+    split2 = args.n_query_db
+    split1 = args.n_dummy_db if args.n_dummy_db is not None else len(dataset) - split2
+    test_dir_name = args.test_dir.split("/")[-1].split(".")[0]
+    indices = np.load(f"{data_dir}/{test_dir_name}_indices.npy")
+    dummy_indices = indices[:split1]
+    query_indices = indices[split1:split1 + split2]
+    print(f"Creating dummy db with {len(dummy_indices)} samples and "
+          f"query db with {len(query_indices)} samples")
+    dummy_loader = TrackLoader(dataset, dummy_indices)
+    query_loader = TrackLoader(dataset, query_indices)
+
+    index_type = "l2" if args.small_test else "ivfpq"
+    test_seq_len = "1 3 5 9 11 19"
+    if args.query_lens is not None:
+        qlens = [float(q) for q in args.query_lens.split(",")]
+        test_seq_len = [
+            query_len_from_seconds(q, cfg["overlap"], dur=cfg["dur"])
+            for q in qlens
+        ]
+
+    model_folder = "checkpoint"
+    for ckp_name, epochs in test_cfg.items():
+        if not isinstance(epochs, list):
+            epochs = [epochs]
+        writer = TensorBoardWriter(f"runs/{ckp_name}")
+        for epoch in epochs:
+            ckp = resolve_ckpt_path(model_folder, ckp_name, epoch)
+            if not os.path.exists(ckp):
+                print(f"=> no checkpoint found at '{ckp}'")
+                continue
+            print(f"=> loading checkpoint '{ckp}'")
+            params, batch_stats = load_any_checkpoint(ckp, model, cfg)
+            pipeline = FingerprintPipeline(model, cfg, params, batch_stats)
+
+            large = args.test_dir == "data/fma_large.json"
+            fp_dir = create_fp_dir(resume=ckp, train=False, large=large)
+            if args.recompute or not os.path.isfile(f"{fp_dir}/dummy_db.mm"):
+                print("=> Computing dummy fingerprints...")
+                create_dummy_db(dummy_loader, pipeline, fp_dir, verbose=False)
+            else:
+                print("=> Skipping dummy db creation...")
+            create_fp_db(query_loader, pipeline, banks, fp_dir,
+                         seed=args.seed, ir_prob=ir_prob, verbose=False)
+
+            hit_rates = eval_faiss(
+                emb_dir=fp_dir, test_ids=args.test_ids,
+                test_seq_len=test_seq_len
+                if isinstance(test_seq_len, str)
+                else " ".join(map(str, test_seq_len)),
+                index_type=index_type, nogpu=True,
+            )
+            text = f"{args.text}_{epoch}"
+            label = epoch if isinstance(epoch, int) else 0
+            writer.add_text(
+                "table",
+                create_table(hit_rates, cfg["overlap"], cfg["dur"],
+                             test_seq_len if isinstance(test_seq_len, list)
+                             else [1, 3, 5, 9, 11, 19], text=text),
+                label,
+            )
+            print("-------Test hit-rates-------")
+            print(f"Top-1 exact hit rate = {hit_rates[0]}")
+            print(f"Top-1 near hit rate = {hit_rates[1]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Training driver with the reference CLI contract (train.py:34-52):
+
+    python train.py --config config/grafp.yaml --ckp tc_xx \
+        [--train_dir D] [--val_dir D] [--epochs N] [--resume PATH]
+        [--seed S] [--encoder grafp] [--n_dummy_db N] [--n_query_db N] [--k K]
+
+Flow mirrors reference train.py:97-233: augmentation indices (0.8
+train/test splits), train loader (shuffled pairs, drop-last), validation
+loaders (seeded split into n_dummy/n_query full tracks), model + Adam +
+per-epoch cosine schedule, every-10-epoch retrieval validation (exact L2
+index over a 100-track dummy DB), checkpoints model_<ckp>_{current,best,
+<epoch>} with loss and hit-rate logs. TPU specifics: one jitted
+global-batch train step over the data mesh; device-side corruption from
+pre-loaded noise/IR banks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Grafprint Training")
+    p.add_argument("--config", default="config/grafp.yaml", type=str)
+    p.add_argument("--train_dir", default=None, type=str, metavar="PATH")
+    p.add_argument("--val_dir", default=None, type=str, metavar="PATH")
+    p.add_argument("--epochs", default=None, type=int, metavar="N")
+    p.add_argument("--resume", default=None, type=str, metavar="PATH")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--ckp", default="test", type=str)
+    p.add_argument("--encoder", default="grafp", type=str)
+    p.add_argument("--n_dummy_db", default=None, type=int)
+    p.add_argument("--n_query_db", default=None, type=int)
+    p.add_argument("--k", default=3, type=int)
+    return p
+
+
+def validate(epoch, query_loader, dummy_loader, banks, pipeline,
+             output_root_dir):
+    """Reference train.py:84-95: every-10-epoch mini retrieval eval with
+    an exact index."""
+    from grafp_tpu.fp.builder import create_dummy_db, create_fp_db
+    from grafp_tpu.retrieval.evaluate import eval_faiss
+
+    if epoch == 1 or epoch % 10 == 0:
+        create_dummy_db(dummy_loader, pipeline, output_root_dir,
+                        verbose=False)
+        create_fp_db(query_loader, pipeline, banks, output_root_dir,
+                     verbose=False)
+        hit_rates = eval_faiss(emb_dir=output_root_dir, test_ids="all",
+                               index_type="l2", n_centroids=32, nogpu=True,
+                               verbose=False)
+        print("-------Validation hit-rates-------")
+        print(f"Top-1 exact hit rate = {hit_rates[0]}")
+        print(f"Top-1 near hit rate = {hit_rates[1]}")
+        return hit_rates
+    return None
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from grafp_tpu.core.config import load_config, override
+    from grafp_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+    from grafp_tpu.data.dataset import (
+        FingerprintDataset, PairBatcher, TrackLoader, build_augment_banks,
+    )
+    from grafp_tpu.data.indexing import load_augmentation_index
+    from grafp_tpu.fp.builder import FingerprintPipeline
+    from grafp_tpu.models import build_model
+    from grafp_tpu.train import create_train_state, make_train_step
+    from grafp_tpu.train.checkpoint import load_ckp, save_ckp
+    from grafp_tpu.utils.helpers import TensorBoardWriter, count_parameters, create_fp_dir
+
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config)
+    if args.encoder == "resnet":
+        raise NotImplementedError  # deprecated in the reference too
+    cfg["arch"] = args.encoder
+    cfg["k"] = args.k
+    writer = TensorBoardWriter(f"runs/{args.ckp}")
+    train_dir = override(cfg["train_dir"], args.train_dir)
+    valid_dir = override(cfg["val_dir"], args.val_dir)
+    model_folder = "checkpoint"
+    num_epochs = override(cfg["n_epochs"], args.epochs)
+
+    print("Intializing augmentation pipeline...")
+    noise_train = load_augmentation_index(cfg["noise_dir"], splits=0.8)["train"]
+    ir_train = load_augmentation_index(cfg["ir_dir"], splits=0.8)["train"]
+    noise_val = load_augmentation_index(cfg["noise_dir"], splits=0.8)["test"]
+    ir_val = load_augmentation_index(cfg["ir_dir"], splits=0.8)["test"]
+    train_banks = build_augment_banks(noise_train, ir_train, cfg["fs"])
+    val_banks = build_augment_banks(noise_val, ir_val, cfg["fs"])
+
+    print("Loading dataset...")
+    train_ds = FingerprintDataset(cfg, train_dir, train=True, seed=args.seed)
+    train_loader = PairBatcher(train_ds, cfg["bsz_train"], seed=args.seed)
+
+    valid_ds = FingerprintDataset(cfg, valid_dir, train=False)
+    n_dummy = override(cfg["n_dummy"], args.n_dummy_db)
+    n_query = override(cfg["n_query"], args.n_query_db)
+    indices = np.arange(len(valid_ds))
+    np.random.seed(args.seed)
+    np.random.shuffle(indices)
+    dummy_loader = TrackLoader(valid_ds, indices[:n_dummy])
+    query_loader = TrackLoader(valid_ds, indices[n_dummy:n_dummy + n_query])
+
+    print("Creating new model...")
+    model = build_model(cfg)
+    steps_per_epoch = max(len(train_loader), 1)
+    state = create_train_state(model, cfg, jax.random.key(args.seed),
+                               steps_per_epoch)
+    print(count_parameters(state.params, args.encoder))
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch_sharding = data_sharding(mesh, 2)
+    step = make_train_step(model, cfg, train_banks)
+
+    start_epoch, loss_log, hit_rate_log = 0, [], []
+    best_loss, best_hr = float("inf"), 0.0
+    if args.resume:
+        if os.path.isdir(args.resume) or os.path.exists(args.resume):
+            print(f"=> loading checkpoint '{args.resume}'")
+            from flax.serialization import from_state_dict
+
+            restored = load_ckp(args.resume)
+            opt_state = state.opt_state
+            if restored.get("opt_state") is not None:
+                # orbax returns raw nested dicts; rebuild the optax
+                # structure against the freshly-initialized opt_state
+                opt_state = from_state_dict(state.opt_state,
+                                            restored["opt_state"])
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=opt_state,
+            )
+            start_epoch = int(restored["epoch"])
+            loss_log = list(restored.get("loss", []))
+            hit_rate_log = list(restored.get("valid_acc", []))
+        else:
+            print(f"=> no checkpoint found at '{args.resume}'")
+
+    root_key = jax.random.key(args.seed)
+    for epoch in range(start_epoch + 1, num_epochs + 1):
+        print(f"#######Epoch {epoch}#######")
+        t0 = time.time()
+        loss_epoch = 0.0
+        ekey = jax.random.fold_in(root_key, epoch)
+        for idx, (x_i, x_j) in enumerate(train_loader):
+            xi = jax.device_put(jnp.asarray(x_i), batch_sharding)
+            xj = jax.device_put(jnp.asarray(x_j), batch_sharding)
+            state, metrics = step(state, xi, xj,
+                                  jax.random.fold_in(ekey, idx))
+            loss = float(metrics["loss"])
+            loss_epoch += loss
+            if idx % 10 == 0:
+                print(f"Step [{idx}/{len(train_loader)}]\t Net Loss: {loss}")
+        print(f"epoch time: {time.time()-t0:.1f}s")
+        writer.add_scalar("Loss/train", loss_epoch, epoch)
+        loss_log.append(loss_epoch)
+
+        output_root_dir = create_fp_dir(ckp=args.ckp, epoch=epoch)
+        pipeline = FingerprintPipeline(model, cfg, state.params,
+                                       state.batch_stats)
+        hit_rates = validate(epoch, query_loader, dummy_loader, val_banks,
+                             pipeline, output_root_dir)
+        hit_rate_log.append(
+            hit_rates[0] if hit_rates is not None
+            else (hit_rate_log[-1] if hit_rate_log else 0.0)
+        )
+        if hit_rates is not None:
+            writer.add_scalar("Exact Hit_rate (2 sec)", hit_rates[0][0], epoch)
+            if hit_rates.shape[1] > 1:
+                writer.add_scalar("Exact Hit_rate (4 sec)", hit_rates[0][1], epoch)
+            writer.add_scalar("Near Hit_rate (2 sec)", hit_rates[1][0], epoch)
+
+        from flax.serialization import to_state_dict
+
+        payload = {
+            "epoch": epoch,
+            "loss": loss_log,
+            "valid_acc": [np.asarray(h) for h in hit_rate_log],
+            "hit_rate": np.asarray(hit_rates) if hit_rates is not None else None,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": to_state_dict(state.opt_state),
+        }
+        save_ckp(payload, args.ckp, model_folder, "current")
+        assert os.path.exists(f"checkpoint/model_{args.ckp}_current"), \
+            "Checkpoint not saved"
+        if loss_epoch < best_loss:
+            best_loss = loss_epoch
+            save_ckp(payload, args.ckp, model_folder, "best")
+        if hit_rates is not None and float(hit_rates[0][0]) > best_hr:
+            best_hr = float(hit_rates[0][0])
+            save_ckp(payload, args.ckp, model_folder, epoch)
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,7 @@ class LogMelConfig:
     amin: float = 1e-10          # AmplitudeToDB clamp floor
     top_db: float | None = None  # reference uses AmplitudeToDB() default: None
     method: str = "matmul"       # 'matmul' | 'fft'
+    center: bool = True          # False: caller pre-padded (fp builder)
     compute_dtype: str = "float32"
 
     @classmethod
@@ -146,11 +147,16 @@ class LogMelConfig:
 # Core
 # ---------------------------------------------------------------------------
 
-def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """(..., T) -> (..., n_frames, n_fft) with reflect center-padding."""
-    pad = n_fft // 2
-    pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
-    xp = jnp.pad(x, pad_width, mode="reflect")
+def _frame(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, n_fft) with reflect center-padding.
+    center=False assumes the caller already padded (fp builder's exact
+    tail handling for bucketed track lengths)."""
+    if center:
+        pad = n_fft // 2
+        pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        xp = jnp.pad(x, pad_width, mode="reflect")
+    else:
+        xp = x
     t_padded = xp.shape[-1]
     n_frames = 1 + (t_padded - n_fft) // hop
     # Gather frames with a strided slice per frame index; XLA lowers the
@@ -164,7 +170,7 @@ def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 def power_spectrogram(x: jnp.ndarray, mcfg: LogMelConfig) -> jnp.ndarray:
     """(..., T) -> (..., n_freqs, n_frames) power spectrogram (|STFT|^2)."""
     dtype = jnp.dtype(mcfg.compute_dtype)
-    frames = _frame(x, mcfg.n_fft, mcfg.hop_length)
+    frames = _frame(x, mcfg.n_fft, mcfg.hop_length, mcfg.center)
     if mcfg.method == "fft":
         win = jnp.asarray(_hann_window(mcfg.win_length, mcfg.n_fft))
         spec = jnp.fft.rfft(frames * win, axis=-1)

@@ -1,0 +1,240 @@
+"""Fingerprint database builders (reference test_fp.py:87-158,
+generate.py:34-57), engineered for static shapes and full batches.
+
+The reference feeds whole tracks through the model one at a time with
+ad-hoc chunking (split at 256 segments / torch.split(128)). Here:
+
+  * track audio lengths are BUCKETED (next multiple of bucket_s seconds)
+    so the log-mel+unfold program compiles once per bucket, not per
+    track; the tail is handled exactly - the true track is reflect-padded
+    on host before zero-padding to the bucket, and only the
+    reference-defined segment count is kept, so every emitted segment is
+    bit-equal to an unbucketed computation;
+  * segments from consecutive tracks are packed into one rolling
+    (batch_size, n_mels, n_frames) buffer - the embed program always
+    sees FULL batches of one shape (the MXU never runs a ragged batch);
+  * fingerprints stream straight into the reference's float32 memmap
+    format (memmap_io.MemmapWriter) - a 31M-row DB never materializes
+    in RAM.
+
+Query corruption (IR + SNR noise on the full track) runs on device via
+dsp.augment, equivalent to the reference's val_transform chain
+(transformations.py:34-48,97-109).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafp_tpu.dsp.augment import AugmentBanks, augment_waveforms
+from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
+from grafp_tpu.dsp.segment import num_segments, unfold_segments
+from grafp_tpu.retrieval.memmap_io import MemmapWriter
+
+
+class FingerprintPipeline:
+    """Jitted building blocks shared by all DB builders."""
+
+    def __init__(self, model, cfg, params, batch_stats,
+                 batch_size: int = 256, bucket_s: float = 10.0):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.batch_size = batch_size
+        self.fs = int(cfg["fs"])
+        self.bucket = int(bucket_s * self.fs)
+        self.n_fft = int(cfg["n_fft"])
+        self.hop = int(cfg["hop_len"])
+        self.n_frames = int(cfg["n_frames"])
+        self.step = cfg.seg_hop_frames
+        self.d = int(cfg["d"])
+        self.mcfg = LogMelConfig.from_config(cfg)
+        self.mcfg_nopad = LogMelConfig(
+            sample_rate=self.mcfg.sample_rate, n_fft=self.mcfg.n_fft,
+            win_length=self.mcfg.win_length, hop_length=self.mcfg.hop_length,
+            n_mels=self.mcfg.n_mels, center=False,
+        )
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _embed(spec):
+            _, z = model.apply(
+                {"params": params, "batch_stats": batch_stats}, spec, False
+            )
+            return z
+
+        self._embed = _embed
+
+        @functools.partial(jax.jit, static_argnames=("n_true_frames",))
+        def _track_spec(padded_wave, n_true_frames):
+            mel = log_mel_spectrogram(padded_wave, self.mcfg_nopad)
+            return mel[:, :, :n_true_frames]  # (B, n_mels, true frames)
+
+        self._track_spec = _track_spec
+
+        snr = tuple(float(s) for s in cfg["val_snr"])
+        self._val_snr = snr
+
+    # -- per-track spectrogram, exact tail semantics --------------------
+    def track_logmel(self, wave: np.ndarray) -> np.ndarray:
+        """(T,) float32 -> (n_mels, 1 + T//hop) log-mel, identical to the
+        centered reference computation, one compile per length bucket."""
+        t = len(wave)
+        n_true_frames = 1 + t // self.hop
+        pad = self.n_fft // 2
+        # centered reflect pad with TRUE samples, then zero-fill bucket
+        w = np.concatenate([wave[pad:0:-1], wave, wave[-2:-pad - 2:-1]])
+        bucket_len = pad * 2 + max(
+            self.bucket, int(math.ceil(t / self.bucket)) * self.bucket
+        )
+        if len(w) < bucket_len:
+            w = np.pad(w, (0, bucket_len - len(w)))
+        spec = self._track_spec(jnp.asarray(w[None, :]), n_true_frames)
+        return np.asarray(spec[0])
+
+    def corrupt_track(self, wave: np.ndarray, banks: AugmentBanks,
+                      key, ir_prob: float = 1.0) -> np.ndarray:
+        """Reference val_transform: IR (p=ir_prob) then noise at val_snr
+        (p=1) on the whole track."""
+        if banks is None or (banks.noise is None and banks.ir is None):
+            return wave
+        out = augment_waveforms(
+            jnp.asarray(wave[None, :]), banks, key, self._val_snr,
+            ir_prob=ir_prob, noise_prob=1.0,
+        )
+        return np.asarray(out[0])
+
+    def segments_for(self, wave: np.ndarray) -> np.ndarray:
+        """(T,) -> (S, n_mels, n_frames) float32 model inputs."""
+        spec = self.track_logmel(wave)
+        s = num_segments(spec.shape[1], self.n_frames, self.step)
+        if s == 0:
+            return np.zeros((0, spec.shape[0], self.n_frames), np.float32)
+        return np.asarray(
+            unfold_segments(jnp.asarray(spec), self.n_frames, self.step)
+        )
+
+    # -- rolling full-batch embedder ------------------------------------
+    def embed_stream(
+        self, segment_blocks: Iterable[np.ndarray], writer: MemmapWriter
+    ) -> int:
+        """Feed ragged per-track segment blocks; embed in always-full
+        (batch_size,) batches; append to writer in order. Returns rows."""
+        b = self.batch_size
+        buf = np.zeros((0, self.mcfg.n_mels, self.n_frames), np.float32)
+        total = 0
+
+        def emit(batch: np.ndarray, n_valid: int):
+            nonlocal total
+            z = np.asarray(self._embed(jnp.asarray(batch)))
+            writer.append(z[:n_valid])
+            total += n_valid
+
+        for block in segment_blocks:
+            block = np.asarray(block, np.float32)
+            if len(block) == 0:
+                continue
+            buf = np.concatenate([buf, block]) if len(buf) else block
+            while len(buf) >= b:
+                emit(buf[:b], b)
+                buf = buf[b:]
+        if len(buf):
+            emit(np.pad(buf, ((0, b - len(buf)), (0, 0), (0, 0))), len(buf))
+        return total
+
+
+def _capacity(loader_len: int, cfg, max_track_s: float = 40.0) -> int:
+    frames = 1 + int(max_track_s * cfg["fs"]) // cfg["hop_len"]
+    per_track = num_segments(frames, cfg["n_frames"], cfg.seg_hop_frames)
+    return max(loader_len * per_track, 1024)
+
+
+def create_dummy_db(
+    loader, pipeline: FingerprintPipeline, output_root_dir: str,
+    fname: str = "dummy_db", verbose: bool = True,
+) -> Tuple[int, int]:
+    """Clean fingerprints of every track (reference test_fp.py:127-158)."""
+    cfg = pipeline.cfg
+    writer = MemmapWriter(output_root_dir, fname, pipeline.d,
+                          capacity=_capacity(len(loader), cfg))
+
+    def blocks():
+        for i, wave in enumerate(loader):
+            if verbose and i % 100 == 0:
+                print(f"=> dummy db [{i}/{len(loader)}]")
+            yield pipeline.segments_for(np.asarray(wave, np.float32))
+
+    n = pipeline.embed_stream(blocks(), writer)
+    return writer.close()
+
+
+def create_fp_db(
+    loader, pipeline: FingerprintPipeline, banks: Optional[AugmentBanks],
+    output_root_dir: str, seed: int = 0, ir_prob: float = 1.0,
+    verbose: bool = True,
+) -> Tuple[int, int]:
+    """Paired clean (db) / corrupted (query) fingerprints per track
+    (reference test_fp.py:87-125: z_i from x_i -> db, z_j from the
+    noise+IR view -> query). Row alignment between the two files is the
+    ground-truth contract of the whole eval."""
+    cfg = pipeline.cfg
+    cap = _capacity(len(loader), cfg)
+    w_db = MemmapWriter(output_root_dir, "db", pipeline.d, capacity=cap)
+    w_q = MemmapWriter(output_root_dir, "query", pipeline.d, capacity=cap)
+    key = jax.random.key(seed)
+
+    clean_blocks, dirty_blocks = [], []
+    for i, wave in enumerate(loader):
+        wave = np.asarray(wave, np.float32)
+        if verbose and i % 10 == 0:
+            print(f"=> fp db [{i}/{len(loader)}]")
+        key, sub = jax.random.split(key)
+        seg_clean = pipeline.segments_for(wave)
+        corrupted = pipeline.corrupt_track(wave, banks, sub, ir_prob=ir_prob)
+        seg_dirty = pipeline.segments_for(corrupted)
+        # row alignment: truncate to the common segment count
+        s = min(len(seg_clean), len(seg_dirty))
+        clean_blocks.append(seg_clean[:s])
+        dirty_blocks.append(seg_dirty[:s])
+
+    n1 = pipeline.embed_stream(clean_blocks, w_db)
+    n2 = pipeline.embed_stream(dirty_blocks, w_q)
+    assert n1 == n2, (n1, n2)
+    w_db.close()
+    return w_q.close()
+
+
+def create_db(
+    loader, pipeline: FingerprintPipeline, output_dir: str,
+    concat: bool = True, verbose: bool = True,
+) -> np.ndarray:
+    """Standalone fingerprint extraction -> fingerprints.npy (reference
+    generate.py:34-57)."""
+    import os
+
+    outs = []
+    for i, wave in enumerate(loader):
+        segs = pipeline.segments_for(np.asarray(wave, np.float32))
+        zs = []
+        b = pipeline.batch_size
+        for j in range(0, len(segs), b):
+            blk = segs[j:j + b]
+            pad = b - len(blk)
+            if pad:
+                blk = np.pad(blk, ((0, pad), (0, 0), (0, 0)))
+            z = np.asarray(pipeline._embed(jnp.asarray(blk)))
+            zs.append(z[: b - pad] if pad else z)
+        outs.append(np.concatenate(zs) if zs else np.zeros((0, pipeline.d)))
+        if verbose and i % 10 == 0:
+            print(f"=> generate [{i}/{len(loader)}]")
+    fp = np.concatenate(outs, axis=0) if concat else np.array(outs, dtype=object)
+    os.makedirs(output_dir, exist_ok=True)
+    np.save(os.path.join(output_dir, "fingerprints.npy"), fp)
+    return fp

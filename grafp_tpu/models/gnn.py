@@ -59,7 +59,8 @@ SIZE_PRESETS = {
 
 class MRConv(nn.Module):
     """Max-Relative graph conv: out = GroupedConv([x || max_k(x_nbr)-x])
-    with channel interleave, then BN + act (torch_vertex.py:11-34)."""
+    with channel interleave, then BN + act (torch_vertex.py:11-34).
+    The neighbor max is computed by the caller (strategy-dependent)."""
 
     out_features: int
     act: str = "relu"
@@ -68,12 +69,10 @@ class MRConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, idx, train: bool):
-        # x: (B, N, C), idx: (B, N, k)
-        nbrs = gather_neighbors(x, idx)                    # (B, N, k, C)
-        rel = jnp.max(nbrs, axis=2) - x                    # (B, N, C)
-        # interleave channels: [x_0, rel_0, x_1, rel_1, ...]
+    def __call__(self, x, rel, train: bool):
+        # x, rel: (B, N, C); rel = max_k(x_nbr) - x
         b, n, c = x.shape
+        # interleave channels: [x_0, rel_0, x_1, rel_1, ...]
         y = jnp.stack([x, rel], axis=-1).reshape(b, n, 2 * c)
         y = GroupedPointwiseConv(
             self.out_features, groups=self.groups, dtype=self.dtype
@@ -92,20 +91,32 @@ class Grapher(nn.Module):
     act: str = "relu"
     drop_path: float = 0.0
     knn_block_rows: int = 0
+    knn_strategy: str = "onehot"  # see ops/mrconv_neighbors.py
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from grafp_tpu.ops.mrconv_neighbors import max_relative_neighbors
+
         shortcut = x
         x = PointwiseConv(self.features, dtype=self.dtype, name="fc1")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(x, train)
-        idx = knn_graph(x, self.k * self.dilation, block_rows=self.knn_block_rows)
-        idx = dilate_neighbors(idx, self.dilation)
+        if self.dilation > 1 or self.knn_strategy == "exact":
+            # dilated selection needs explicit rank ordering: exact path
+            idx = knn_graph(x, self.k * self.dilation,
+                            block_rows=self.knn_block_rows)
+            idx = dilate_neighbors(idx, self.dilation)
+            rel = jnp.max(gather_neighbors(x, idx), axis=2) - x
+        else:
+            rel = max_relative_neighbors(
+                x, self.k, strategy=self.knn_strategy,
+                compute_dtype=self.dtype or jnp.float32,
+            ) - x
         x = MRConv(
             self.features * 2, act=self.act, axis_name=self.axis_name,
             dtype=self.dtype, name="gconv",
-        )(x, idx, train)
+        )(x, rel, train)
         x = PointwiseConv(self.features, dtype=self.dtype, name="fc2")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc2_bn")(x, train)
         x = DropPath(self.drop_path)(x, train)
@@ -192,6 +203,7 @@ class GraphEncoder(nn.Module):
     drop_path: float = 0.1
     drop_path_schedule: str = "reference"
     knn_block_rows: int = 0
+    knn_strategy: str = "onehot"
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
@@ -228,6 +240,7 @@ class GraphEncoder(nn.Module):
                 x = grapher_cls(
                     ch, k=self.k, dilation=dil, act=self.act, drop_path=dp,
                     knn_block_rows=self.knn_block_rows,
+                    knn_strategy=self.knn_strategy,
                     axis_name=self.axis_name, dtype=self.dtype,
                     name=f"block{idx}_grapher",
                 )(x, train)

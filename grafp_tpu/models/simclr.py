@@ -84,6 +84,7 @@ def build_model(cfg, axis_name: Optional[str] = None) -> SimCLRModel:
             drop_path=cfg["drop_path"],
             drop_path_schedule=cfg["drop_path_schedule"],
             knn_block_rows=int(cfg["knn_block_size"]),
+            knn_strategy=cfg["knn_strategy"],
             remat=bool(cfg["remat"]),
             axis_name=axis_name if cfg["bn_cross_replica"] else None,
             dtype=dtype,

@@ -1,0 +1,111 @@
+"""End-to-end CLI integration on synthetic audio: train 2 epochs ->
+test_fp eval -> generate, all through the reference-contract entry
+points (in-process main(argv) calls; tiny 1 kHz geometry)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.fixtures import make_wav_dir
+
+FS = 1000
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("ws")
+    make_wav_dir(str(ws / "train_audio"), n=8, dur_s=6.0, sr=FS, seed=1)
+    make_wav_dir(str(ws / "val_audio"), n=6, dur_s=12.0, sr=FS, seed=2)
+    make_wav_dir(str(ws / "noise"), n=4, dur_s=3.0, sr=FS, seed=3, kind="noise")
+    make_wav_dir(str(ws / "ir"), n=3, dur_s=0.25, sr=FS, seed=4, kind="ir")
+    os.makedirs(ws / "data", exist_ok=True)
+    cfg = {
+        "data_dir": "data",
+        "train_dir": str(ws / "train_audio"),
+        "val_dir": str(ws / "val_audio"),
+        "noise_dir": str(ws / "noise"),
+        "ir_dir": str(ws / "ir"),
+        "arch": "grafp", "fs": FS, "dur": 1.0, "offset": 0.05,
+        "norm": 0.95, "win_len": 256, "hop_len": 128, "n_mels": 16,
+        "n_fft": 256, "silence": 0.0005, "blur_kernel": [7, 7],
+        "train_sz": 8, "val_sz": 6, "bsz_train": 8, "peak_stride": 2,
+        "n_filters": 8, "tau": 0.05, "lr": 8.0e-5, "min_lr": 7.0e-7,
+        "n_epochs": 2, "T_max": 400, "error_threshold": 5,
+        "n_frames": 8, "overlap": 0.5, "tr_snr": [0, 20],
+        "val_snr": [5, 5], "test_snr": [19, 21], "time_mask": 8,
+        "freq_mask": 16, "noise_prob": 1.0, "ir_prob": 1.0,
+        "d": 128, "h": 1024, "u": 32, "n_dummy": 4, "n_query": 2,
+    }
+    with open(ws / "tiny.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    with open(ws / "tiny_test_config.yaml", "w") as f:
+        yaml.safe_dump({"e2e": ["current"]}, f)
+    return ws
+
+
+@pytest.mark.slow
+def test_full_cli_pipeline(workspace, monkeypatch):
+    ws = workspace
+    monkeypatch.chdir(ws)
+
+    # ---- train ----
+    from grafp_tpu.cli.train_main import main as train_main
+
+    train_main([
+        "--config", "tiny.yaml", "--ckp", "e2e", "--epochs", "2",
+        "--seed", "42",
+    ])
+    assert os.path.isdir("checkpoint/model_e2e_current")
+    assert os.path.isdir("checkpoint/model_e2e_best")
+    assert os.path.exists("model_summary_grafp.txt")
+
+    # ---- resume for one more epoch (checkpoint/restart path) ----
+    train_main([
+        "--config", "tiny.yaml", "--ckp", "e2e", "--epochs", "3",
+        "--resume", "checkpoint/model_e2e_current",
+    ])
+
+    # ---- test_fp (full eval protocol, exact index) ----
+    from grafp_tpu.cli.test_fp_main import main as test_fp_main
+
+    # frozen indices file, as the reference protocol requires
+    np.save("data/val_audio_indices.npy", np.arange(6))
+    # write the dataset index json so test_fp's loader finds the audio
+    test_fp_main([
+        "--config", "tiny.yaml", "--test_config", "tiny_test_config.yaml",
+        "--test_dir", str(ws / "val_audio"), "--n_query_db", "2",
+        "--small_test", "--test_ids", "4", "--query_lens", "2,3",
+        "--text", "e2e_test",
+    ])
+    # hit-rate artifacts written under logs/store/medium/<ckp>/
+    roots = []
+    for root, dirs, files in os.walk("logs/store/medium"):
+        if "hit_rates.npy" in files:
+            roots.append(root)
+    assert roots, "no hit_rates.npy produced"
+    hr = np.load(os.path.join(roots[0], "hit_rates.npy"))
+    assert hr.shape[0] == 4 and np.isfinite(hr).all()
+
+    # ---- sanir mode (no IR corruption) ----
+    test_fp_main([
+        "--config", "tiny.yaml", "--test_config", "tiny_test_config.yaml",
+        "--test_dir", str(ws / "val_audio"), "--n_query_db", "2",
+        "--small_test", "--test_ids", "4", "--query_lens", "2",
+        "--text", "sanir_e2e",
+    ])
+
+    # ---- generate ----
+    from grafp_tpu.cli.generate_main import main as generate_main
+
+    generate_main([
+        "--config", "tiny.yaml", "--test_dir", str(ws / "val_audio"),
+        "--ckp", "checkpoint/model_e2e_current",
+        "--output_dir", "gen_out",
+    ])
+    fp = np.load("gen_out/fingerprints.npy")
+    assert fp.shape[1] == 128
+    assert np.isfinite(fp).all()
+    np.testing.assert_allclose(np.linalg.norm(fp, axis=1), 1.0, atol=1e-4)

@@ -1,0 +1,131 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grafp_tpu.core.config import Config
+from grafp_tpu.dsp.augment import AugmentBanks
+from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
+from grafp_tpu.fp.builder import (
+    FingerprintPipeline,
+    create_db,
+    create_dummy_db,
+    create_fp_db,
+)
+from grafp_tpu.models import build_model
+from grafp_tpu.retrieval.memmap_io import load_memmap_data
+
+
+def tiny_cfg():
+    return Config(fs=1000, win_len=256, hop_len=128, n_fft=256, n_mels=16,
+                  n_frames=8, overlap=0.5, val_snr=[10, 10])
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    v = model.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, 16, 8)), False)
+    return cfg, FingerprintPipeline(
+        model, cfg, v["params"], v.get("batch_stats", {}),
+        batch_size=16, bucket_s=2.0,
+    )
+
+
+def test_track_logmel_exact_vs_centered(pipe, rng):
+    """Bucketed/pre-padded track spectrogram must equal the plain
+    centered computation for every frame (exact-tail contract)."""
+    cfg, p = pipe
+    mcfg = LogMelConfig.from_config(cfg)
+    for t_len in (1000, 1503, 2000, 4096):
+        wave = rng.randn(t_len).astype(np.float32) * 0.2
+        ref = np.asarray(log_mel_spectrogram(jnp.asarray(wave), mcfg))
+        got = p.track_logmel(wave)
+        assert got.shape == ref.shape == (16, 1 + t_len // 128)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_segments_shape(pipe, rng):
+    cfg, p = pipe
+    segs = p.segments_for(rng.randn(3000).astype(np.float32))
+    # frames = 1+3000//128 = 24; segments = (24-8)//4+1 = 5
+    assert segs.shape == (5, 16, 8)
+
+
+def test_embed_stream_order_and_fullness(pipe, rng, tmp_path):
+    cfg, p = pipe
+    from grafp_tpu.retrieval.memmap_io import MemmapWriter
+
+    blocks = [rng.randn(n, 16, 8).astype(np.float32) for n in (5, 23, 1, 0, 7)]
+    w = MemmapWriter(str(tmp_path), "t", p.d, capacity=100)
+    n = p.embed_stream(iter(blocks), w)
+    assert n == 36
+    w.close()
+    data, shape = load_memmap_data(str(tmp_path), "t", display=False)
+    assert tuple(shape) == (36, p.d)
+    # row order must match per-block embedding
+    ref = []
+    for blk in blocks:
+        for j in range(len(blk)):
+            ref.append(blk[j])
+    ref = np.stack(ref)
+    pad = np.zeros((16 - 36 % 16, 16, 8), np.float32)
+    # re-embed in the same batch partitioning to compare exactly
+    z_all = []
+    buf = np.concatenate([ref, pad])
+    for j in range(0, len(buf), 16):
+        z_all.append(np.asarray(p._embed(jnp.asarray(buf[j:j + 16]))))
+    z_all = np.concatenate(z_all)[:36]
+    np.testing.assert_allclose(np.asarray(data), z_all, rtol=1e-4, atol=1e-5)
+
+
+def _fake_loader(rng, n_tracks, t=3000):
+    tracks = [rng.randn(t + 100 * i).astype(np.float32) * 0.3
+              for i in range(n_tracks)]
+
+    class L:
+        def __len__(self):
+            return len(tracks)
+
+        def __iter__(self):
+            return iter(tracks)
+
+    return L()
+
+
+def test_create_dummy_db(pipe, rng, tmp_path):
+    cfg, p = pipe
+    n, d = create_dummy_db(_fake_loader(rng, 4), p, str(tmp_path),
+                           verbose=False)
+    data, shape = load_memmap_data(str(tmp_path), "dummy_db", display=False)
+    assert shape[0] == n and shape[1] == d == 128
+    norms = np.linalg.norm(np.asarray(data), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_create_fp_db_row_alignment(pipe, rng, tmp_path):
+    cfg, p = pipe
+    banks = AugmentBanks.from_arrays(
+        noise_clips=[rng.randn(5000).astype(np.float32)],
+        ir_clips=[np.r_[1.0, np.zeros(15)].astype(np.float32)],
+        noise_len=5000, ir_len=16,
+    )
+    n, d = create_fp_db(_fake_loader(rng, 3), p, banks, str(tmp_path),
+                        verbose=False)
+    db, db_shape = load_memmap_data(str(tmp_path), "db", display=False)
+    q, q_shape = load_memmap_data(str(tmp_path), "query", display=False)
+    assert tuple(db_shape) == tuple(q_shape) == (n, 128)
+    # corrupted queries stay closest to their own clean row on average
+    sims = np.asarray(db) @ np.asarray(q).T
+    own = np.diag(sims).mean()
+    other = (sims.sum() - np.trace(sims)) / (sims.size - len(sims))
+    assert own > other
+
+
+def test_create_db_npy(pipe, rng, tmp_path):
+    cfg, p = pipe
+    fp = create_db(_fake_loader(rng, 2), p, str(tmp_path), verbose=False)
+    saved = np.load(str(tmp_path / "fingerprints.npy"))
+    np.testing.assert_array_equal(fp, saved)
+    assert saved.shape[1] == 128

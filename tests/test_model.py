@@ -32,15 +32,16 @@ def test_mrconv_matches_numpy_spec(rng):
     B, N, C, k = 2, 12, 8, 3
     x = rng.randn(B, N, C).astype(np.float32)
     idx = rng.randint(0, N, size=(B, N, k))
-    m = MRConv(out_features=2 * C)
-    vars_ = m.init(jax.random.key(1), jnp.asarray(x), jnp.asarray(idx), False)
-    got = np.asarray(m.apply(vars_, jnp.asarray(x), jnp.asarray(idx), False))
-
     # numpy re-derivation of the reference semantics (torch_vertex.py:19-34):
     # x_j = gather(x, idx); rel = max_k(x_j - x_i); interleave [x, rel];
     # grouped 1x1 conv (groups=4) + BN(eval: running stats mu=0 var=1) + relu
     xj = np.stack([[x[b, idx[b, n]] for n in range(N)] for b in range(B)])
     rel = (xj - x[:, :, None, :]).max(axis=2)
+
+    m = MRConv(out_features=2 * C)
+    vars_ = m.init(jax.random.key(1), jnp.asarray(x), jnp.asarray(rel), False)
+    got = np.asarray(m.apply(vars_, jnp.asarray(x), jnp.asarray(rel), False))
+
     inter = np.stack([x, rel], axis=-1).reshape(B, N, 2 * C)
     W = np.asarray(vars_["params"]["GroupedPointwiseConv_0"]["kernel"])
     bias = np.asarray(vars_["params"]["GroupedPointwiseConv_0"]["bias"])
