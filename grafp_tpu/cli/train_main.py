@@ -36,17 +36,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_dummy_db", default=None, type=int)
     p.add_argument("--n_query_db", default=None, type=int)
     p.add_argument("--k", default=3, type=int)
+    p.add_argument("--validate_every", default=10, type=int,
+                   help="retrieval-validation period in epochs "
+                        "(10 for grafp, 25 for the baseline drivers)")
     return p
 
 
 def validate(epoch, query_loader, dummy_loader, banks, pipeline,
-             output_root_dir):
-    """Reference train.py:84-95: every-10-epoch mini retrieval eval with
-    an exact index."""
+             output_root_dir, every: int = 10):
+    """Reference train.py:84-95: periodic mini retrieval eval with an
+    exact index (every 10 epochs; the baseline drivers use 25,
+    reference baselines/train.py:87)."""
     from grafp_tpu.fp.builder import create_dummy_db, create_fp_db
     from grafp_tpu.retrieval.evaluate import eval_faiss
 
-    if epoch == 1 or epoch % 10 == 0:
+    if epoch == 1 or epoch % every == 0:
         create_dummy_db(dummy_loader, pipeline, output_root_dir,
                         verbose=False)
         create_fp_db(query_loader, pipeline, banks, output_root_dir,
@@ -170,7 +174,8 @@ def main(argv=None):
         pipeline = FingerprintPipeline(model, cfg, state.params,
                                        state.batch_stats)
         hit_rates = validate(epoch, query_loader, dummy_loader, val_banks,
-                             pipeline, output_root_dir)
+                             pipeline, output_root_dir,
+                             every=args.validate_every)
         hit_rate_log.append(
             hit_rates[0] if hit_rates is not None
             else (hit_rate_log[-1] if hit_rate_log else 0.0)
