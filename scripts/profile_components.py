@@ -5,7 +5,11 @@ dependency chain; sync is via scalar fetch (see bench.py note).
 Run: python scripts/profile_components.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -107,15 +111,21 @@ def main():
     pvars = pe.init(jax.random.key(0), spec)
     timed("peak embed conv7x7", chain(lambda s: pe.apply(pvars, s)), spec, s0)
 
-    # full grapher stage-1 (f32 vs bf16 compute)
-    from grafp_tpu.models.gnn import Grapher
+    # full grapher + ffn at every stage shape (onehot strategy)
+    from grafp_tpu.models.gnn import FFN, Grapher
 
-    for dt_name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
-        g = Grapher(features=C, k=3, dtype=dt)
-        gvars = g.init(jax.random.key(0), x32, False)
-        timed(f"Grapher N=1024 C=64 {dt_name}", chain(
-            lambda x: g.apply(gvars, x, False)
-        ), x32, s0)
+    for (n, c) in ((1024, 64), (512, 128), (256, 256), (128, 512)):
+        xs = jnp.asarray(rng.randn(B, n, c).astype(np.float32))
+        g = Grapher(features=c, k=3)
+        gvars = g.init(jax.random.key(0), xs, False)
+        timed(f"Grapher N={n} C={c} onehot", chain(
+            lambda x, g=g, v=gvars: g.apply(v, x, False)
+        ), xs, s0)
+        f = FFN(features=c, hidden=4 * c)
+        fvars = f.init(jax.random.key(0), xs, False)
+        timed(f"FFN     N={n} C={c}", chain(
+            lambda x, f=f, v=fvars: f.apply(v, x, False)
+        ), xs, s0)
 
 
 if __name__ == "__main__":
