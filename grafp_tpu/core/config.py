@@ -111,9 +111,11 @@ class Config:
     bn_cross_replica: bool = False   # batch-norm stats across data shards
     knn_block_size: int = 0          # 0 = dense; >0 = blockwise distance
     # neighbor-selection strategy for dilation-1 MRConv blocks:
-    # 'onehot' (exact, MXU-native, fastest) | 'approx' | 'exact'
-    # (measured on v5e: 10.3 / 19.3 / 88.6 ms per stage-1 block)
-    knn_strategy: str = "onehot"
+    # 'auto' = 'pallas' on TPU else 'onehot'. Exact semantics throughout.
+    # v5e stage-1 timings: pallas 6.0 / onehot 10.5 / approx 19.3 /
+    # exact(top_k+gather) 88.6 ms (scripts/profile_knn_variants.py,
+    # scripts/profile_pallas_knn.py).
+    knn_strategy: str = "auto"
     use_pallas: bool = True          # prefer Pallas kernels when on TPU
     remat: bool = False              # jax.checkpoint the backbone blocks
 

@@ -91,7 +91,7 @@ class Grapher(nn.Module):
     act: str = "relu"
     drop_path: float = 0.0
     knn_block_rows: int = 0
-    knn_strategy: str = "onehot"  # see ops/mrconv_neighbors.py
+    knn_strategy: str = "auto"  # see ops/mrconv_neighbors.py
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -203,7 +203,7 @@ class GraphEncoder(nn.Module):
     drop_path: float = 0.1
     drop_path_schedule: str = "reference"
     knn_block_rows: int = 0
-    knn_strategy: str = "onehot"
+    knn_strategy: str = "auto"
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None

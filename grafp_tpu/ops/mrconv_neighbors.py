@@ -74,10 +74,25 @@ def max_neighbors_onehot(x: jnp.ndarray, k: int,
     return rel
 
 
+def _max_neighbors_pallas(x, k, compute_dtype=jnp.float32):
+    from grafp_tpu.ops.pallas_knn import max_neighbors_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    return max_neighbors_pallas(x, k, interpret)
+
+
+def _max_neighbors_auto(x, k, compute_dtype=jnp.float32):
+    if jax.default_backend() == "tpu":
+        return _max_neighbors_pallas(x, k, compute_dtype)
+    return max_neighbors_onehot(x, k, compute_dtype)
+
+
 _STRATEGIES = {
     "exact": max_neighbors_exact,
     "approx": max_neighbors_approx,
     "onehot": max_neighbors_onehot,
+    "pallas": _max_neighbors_pallas,
+    "auto": _max_neighbors_auto,
 }
 
 

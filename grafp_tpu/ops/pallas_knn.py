@@ -1,0 +1,112 @@
+"""Pallas-fused k-NN max-relative aggregation.
+
+One kernel program per batch item: the (N, N) cosine-similarity matrix
+is computed AND consumed entirely in VMEM - the XLA 'onehot' strategy
+(ops/mrconv_neighbors.py) round-trips ~2 GB of (B, N, N) scores through
+HBM per selection round, which is why the stage-1 Grapher measured
+~11 ms despite needing only ~140 GFLOP (scripts/profile_components.py).
+Here HBM traffic is just x in / rel out (~0.5 MB per item).
+
+Per round (k rounds, k static):
+    rowmax  = max_j scores[i, j]
+    mask    = scores == rowmax            (ties: see note)
+    feat    = (mask @ x) / rowsum(mask)   -- MXU matmul, VMEM resident
+    rel     = max(rel, feat)
+    scores  = where(mask, -inf, scores)
+
+Tie note: an exact score tie extracts the MEAN of the tied rows and
+consumes one "rank level" for all of them. Ties between *identical*
+feature rows (the common real case: duplicated silent nodes) therefore
+give exactly the right answer; ties between distinct rows (measure-zero
+in float similarities) deviate from take-first semantics.
+
+VMEM budget at the largest stage (N=1024, C=64, f32): scores 4 MB +
+mask 4 MB + x/xn/rel 0.75 MB < 16 MB.
+
+Gradients: selection is under stop_gradient but features flow through
+the extraction matmul; the custom VJP recomputes the differentiable
+'onehot' formulation for the backward pass (kernel forward, XLA
+backward), so the op is usable in training too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from grafp_tpu.ops.knn import l2_normalize
+from grafp_tpu.ops.mrconv_neighbors import max_neighbors_onehot
+
+
+def _kernel(k: int, rows_ref, xn_ref, x_ref, out_ref):
+    rows = rows_ref[0]                                     # (T, C) query rows
+    xn = xn_ref[0]                                         # (N, C) keys
+    x = x_ref[0]                                           # (N, C) features
+    scores = jnp.dot(rows, xn.T, preferred_element_type=jnp.float32)
+    rel = jnp.full((rows.shape[0], x.shape[1]), -jnp.inf, dtype=jnp.float32)
+    consumed = jnp.zeros((rows.shape[0], 1), jnp.float32)  # columns taken
+    for _ in range(k):
+        rowmax = jnp.max(scores, axis=1, keepdims=True)
+        mask = scores >= rowmax
+        maskf = mask.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(maskf, axis=1, keepdims=True), 1.0)
+        feat = jnp.dot(maskf, x.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) / cnt
+        # rows whose k-budget is already consumed by earlier tie groups
+        # take no further neighbors (keeps top-k semantics under ties)
+        active = consumed < k
+        rel = jnp.where(active, jnp.maximum(rel, feat), rel)
+        consumed = consumed + cnt
+        scores = jnp.where(mask, -jnp.inf, scores)
+    out_ref[0] = rel.astype(out_ref.dtype)
+
+
+def _pallas_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    t = min(n, 256)  # query-row tile: bounds scores/mask VMEM at t*n f32
+    assert n % t == 0, (n, t)
+    xs = jax.lax.stop_gradient(x)
+    xn = l2_normalize(xs, axis=-1)
+    kern = functools.partial(_kernel, k)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b, n // t),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xn, xn, xs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def max_neighbors_pallas(x: jnp.ndarray, k: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """max over the k most-similar nodes' features, fused in VMEM."""
+    return _pallas_forward(x, k, interpret)
+
+
+def _fwd(x, k, interpret):
+    return _pallas_forward(x, k, interpret), x
+
+
+def _bwd(k, interpret, x, g):
+    # differentiable recompute via the XLA formulation (same math)
+    _, vjp = jax.vjp(lambda xx: max_neighbors_onehot(xx, k), x)
+    return vjp(g)
+
+
+max_neighbors_pallas.defvjp(_fwd, _bwd)

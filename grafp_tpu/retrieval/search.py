@@ -41,20 +41,30 @@ def _topk_dist(
     db_sq: Optional[jnp.ndarray] = None,
     metric: str = "l2",
     compute_dtype=jnp.float32,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense block scorer. Returns (scores, ids); scores are squared-L2
     distances (ascending-best) for 'l2', inner products (descending-best
-    returned as-is) for 'ip'."""
+    returned as-is) for 'ip'. Rows at index >= n_valid (zero padding)
+    are masked to worst-possible BEFORE selection - masking after top-k
+    would let pad rows crowd real candidates out of the block top-k."""
     inner = jnp.matmul(
         q.astype(compute_dtype), db.T.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+    pad_mask = None
+    if n_valid is not None:
+        pad_mask = jnp.arange(db.shape[0])[None, :] >= n_valid
     if metric == "ip":
+        if pad_mask is not None:
+            inner = jnp.where(pad_mask, -jnp.inf, inner)
         s, i = jax.lax.top_k(inner, k)
         return s, i
     if db_sq is None:
         db_sq = _sq_norms(db)
     dist = _sq_norms(q)[:, None] - 2.0 * inner + db_sq[None, :]
+    if pad_mask is not None:
+        dist = jnp.where(pad_mask, jnp.inf, dist)
     s, i = jax.lax.top_k(-dist, k)
     return -s, i
 
@@ -86,9 +96,9 @@ def exact_topk(
         def body(carry, blk):
             best_s, best_i = carry
             rows, base = blk
-            s, i = _topk_dist(q, rows, kk, metric=metric)
+            s, i = _topk_dist(q, rows, kk, metric=metric,
+                              n_valid=m - base)  # pre-mask padded rows
             i = i + base
-            s = jnp.where(i >= m, worst, s)  # mask padded rows
             cat_s = jnp.concatenate([best_s, s], axis=1)
             cat_i = jnp.concatenate([best_i, i], axis=1)
             sign = -1.0 if metric == "l2" else 1.0
@@ -126,13 +136,10 @@ def exact_topk_sharded(
     def local(qrep, db_shard):
         sidx = jax.lax.axis_index(DB_AXIS)
         base = sidx * shard
-        s, i = _topk_dist(qrep, db_shard, kk, metric=metric)
+        # pre-mask this shard's padded tail rows before the local top-k
+        s, i = _topk_dist(qrep, db_shard, kk, metric=metric,
+                          n_valid=m - base)
         gids = i + base
-        bad = gids >= m  # padded rows
-        if metric == "l2":
-            s = jnp.where(bad, jnp.inf, s)
-        else:
-            s = jnp.where(bad, -jnp.inf, s)
         all_s = jax.lax.all_gather(s, DB_AXIS, axis=1, tiled=True)   # (Q, ndev*kk)
         all_i = jax.lax.all_gather(gids, DB_AXIS, axis=1, tiled=True)
         if metric == "l2":

@@ -27,7 +27,7 @@ def test_wav_float32_and_24bit(tmp_path, rng):
     import struct
     import wave as wave_mod
 
-    x = (rng.randn(1000) * 0.3).astype(np.float32)
+    x = np.clip(rng.randn(1000) * 0.3, -0.99, 0.99).astype(np.float32)
     # float32 RIFF written by hand
     p = str(tmp_path / "f32.wav")
     body = x.astype("<f4").tobytes()

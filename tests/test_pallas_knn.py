@@ -1,0 +1,56 @@
+"""Pallas fused knn-maxrel kernel vs the exact reference formulation
+(interpret mode on CPU; the TPU-compiled path is validated on-device by
+scripts/profile_pallas_knn.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafp_tpu.ops.mrconv_neighbors import max_neighbors_onehot
+from grafp_tpu.ops.pallas_knn import max_neighbors_pallas
+
+
+def test_pallas_matches_exact(rng):
+    for (b, n, c, k) in ((2, 64, 16, 3), (1, 32, 8, 5)):
+        x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        p = np.asarray(max_neighbors_pallas(x, k, True))
+        o = np.asarray(max_neighbors_onehot(x, k))
+        np.testing.assert_allclose(p, o, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_gradient_matches_onehot(rng):
+    x = jnp.asarray(rng.randn(1, 24, 8).astype(np.float32))
+
+    def fp(xx):
+        return jnp.sum(max_neighbors_pallas(xx, 3, True) ** 2)
+
+    def fo(xx):
+        return jnp.sum(max_neighbors_onehot(xx, 3) ** 2)
+
+    g1 = np.asarray(jax.grad(fp)(x))
+    g2 = np.asarray(jax.grad(fo)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_duplicate_nodes_tie_handling(rng):
+    """Identical feature rows tie in similarity; the mean-of-tied
+    extraction must still return that exact feature."""
+    row = rng.randn(8).astype(np.float32)
+    x = np.stack([row] * 5 + [rng.randn(8).astype(np.float32) for _ in range(3)])
+    xj = jnp.asarray(x[None])
+    p = np.asarray(max_neighbors_pallas(xj, 3, True))[0]
+    # for the duplicated rows, the k nearest are the duplicates themselves
+    for i in range(5):
+        np.testing.assert_allclose(p[i], row, rtol=1e-5, atol=1e-6)
+
+
+def test_grapher_with_pallas_strategy(rng):
+    from grafp_tpu.models.gnn import Grapher
+
+    x = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    g_p = Grapher(features=8, k=3, knn_strategy="pallas")
+    g_o = Grapher(features=8, k=3, knn_strategy="onehot")
+    v = g_p.init(jax.random.key(0), x, False)
+    out_p = np.asarray(g_p.apply(v, x, False))
+    out_o = np.asarray(g_o.apply(v, x, False))
+    np.testing.assert_allclose(out_p, out_o, rtol=1e-4, atol=1e-5)
