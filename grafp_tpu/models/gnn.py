@@ -81,6 +81,78 @@ class MRConv(nn.Module):
         return act_layer(self.act)(y)
 
 
+class EdgeConv(nn.Module):
+    """EdgeConv (torch_vertex.py:37-52): max over neighbors of
+    GroupedConv([x_i || x_j - x_i]). Needs explicit neighbor indices."""
+
+    out_features: int
+    act: str = "relu"
+    groups: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        nbrs = gather_neighbors(x, idx)                    # (B, N, k, C)
+        ctr = x[:, :, None, :]
+        feats = jnp.concatenate(
+            [jnp.broadcast_to(ctr, nbrs.shape), nbrs - ctr], axis=-1
+        )                                                  # (B, N, k, 2C)
+        y = GroupedPointwiseConv(
+            self.out_features, groups=self.groups, dtype=self.dtype
+        )(feats)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
+        y = act_layer(self.act)(y)
+        return jnp.max(y, axis=2)
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE (torch_vertex.py:55-70): GroupedConv([x || max_k
+    Conv(x_j)])."""
+
+    out_features: int
+    act: str = "relu"
+    groups: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        c = x.shape[-1]
+        h = GroupedPointwiseConv(c, groups=self.groups, dtype=self.dtype,
+                                 name="nn1")(x)
+        h = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                      name="nn1_bn")(h, train)
+        h = act_layer(self.act)(h)
+        agg = jnp.max(gather_neighbors(h, idx), axis=2)
+        y = jnp.concatenate([x, agg], axis=-1)
+        y = GroupedPointwiseConv(self.out_features, groups=self.groups,
+                                 dtype=self.dtype, name="nn2")(y)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                      name="nn2_bn")(y, train)
+        return act_layer(self.act)(y)
+
+
+class GINConv(nn.Module):
+    """GIN (torch_vertex.py:73-89): Conv((1+eps)*x + sum_k x_j)."""
+
+    out_features: int
+    act: str = "relu"
+    groups: int = 4
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        eps = self.param("eps", nn.initializers.zeros, (), jnp.float32)
+        agg = jnp.sum(gather_neighbors(x, idx), axis=2)
+        y = (1.0 + eps) * x + agg
+        y = GroupedPointwiseConv(self.out_features, groups=self.groups,
+                                 dtype=self.dtype)(y)
+        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
+        return act_layer(self.act)(y)
+
+
 class Grapher(nn.Module):
     """fc1 -> dynamic kNN graph -> MRConv (C->2C) -> fc2 (2C->C) + residual
     (torch_vertex.py:142-194)."""
@@ -88,6 +160,7 @@ class Grapher(nn.Module):
     features: int
     k: int = 3
     dilation: int = 1
+    conv: str = "mr"  # 'mr' | 'edge' | 'sage' | 'gin' (dispatcher parity)
     act: str = "relu"
     drop_path: float = 0.0
     knn_block_rows: int = 0
@@ -102,21 +175,32 @@ class Grapher(nn.Module):
         shortcut = x
         x = PointwiseConv(self.features, dtype=self.dtype, name="fc1")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(x, train)
-        if self.dilation > 1 or self.knn_strategy == "exact":
-            # dilated selection needs explicit rank ordering: exact path
+        common = dict(act=self.act, axis_name=self.axis_name,
+                      dtype=self.dtype, name="gconv")
+        if self.conv == "mr":
+            # fast path: MRConv only consumes the neighbor-feature max
+            if self.dilation > 1 or self.knn_strategy == "exact":
+                idx = knn_graph(x, self.k * self.dilation,
+                                block_rows=self.knn_block_rows)
+                idx = dilate_neighbors(idx, self.dilation)
+                rel = jnp.max(gather_neighbors(x, idx), axis=2) - x
+            else:
+                rel = max_relative_neighbors(
+                    x, self.k, strategy=self.knn_strategy,
+                    compute_dtype=self.dtype or jnp.float32,
+                ) - x
+            x = MRConv(self.features * 2, **common)(x, rel, train)
+        else:
+            # index-consuming variants (torch_vertex.py:92-107 dispatcher)
             idx = knn_graph(x, self.k * self.dilation,
                             block_rows=self.knn_block_rows)
             idx = dilate_neighbors(idx, self.dilation)
-            rel = jnp.max(gather_neighbors(x, idx), axis=2) - x
-        else:
-            rel = max_relative_neighbors(
-                x, self.k, strategy=self.knn_strategy,
-                compute_dtype=self.dtype or jnp.float32,
-            ) - x
-        x = MRConv(
-            self.features * 2, act=self.act, axis_name=self.axis_name,
-            dtype=self.dtype, name="gconv",
-        )(x, rel, train)
+            cls = {"edge": EdgeConv, "sage": SAGEConv, "gin": GINConv}
+            if self.conv not in cls:
+                raise NotImplementedError(
+                    f"conv:{self.conv} is not supported"
+                )
+            x = cls[self.conv](self.features * 2, **common)(x, idx, train)
         x = PointwiseConv(self.features, dtype=self.dtype, name="fc2")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc2_bn")(x, train)
         x = DropPath(self.drop_path)(x, train)
@@ -197,6 +281,7 @@ class GraphEncoder(nn.Module):
 
     size: str = "t"
     k: int = 3
+    conv: str = "mr"
     act: str = "relu"
     emb_dims: int = 1024
     dilation_schedule: str = "reference"
@@ -238,7 +323,8 @@ class GraphEncoder(nn.Module):
                     idx, n_blocks, self.drop_path, self.drop_path_schedule
                 )
                 x = grapher_cls(
-                    ch, k=self.k, dilation=dil, act=self.act, drop_path=dp,
+                    ch, k=self.k, dilation=dil, conv=self.conv,
+                    act=self.act, drop_path=dp,
                     knn_block_rows=self.knn_block_rows,
                     knn_strategy=self.knn_strategy,
                     axis_name=self.axis_name, dtype=self.dtype,
