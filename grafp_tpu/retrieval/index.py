@@ -373,8 +373,9 @@ def get_index(
     elif mode == "lsh":
         index = IndexLSH(d, nbits=256)
     elif mode == "hnsw":
-        # Exact flat scan (== HNSW at recall 1.0); see module docstring.
-        index = IndexFlat(d)
+        from grafp_tpu.retrieval.hnsw import IndexHNSW
+
+        index = IndexHNSW(d, m=16, ef_construction=80)
     elif mode == "ivfpq-ondisk":
         raise NotImplementedError(mode)
     else:

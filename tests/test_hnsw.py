@@ -1,0 +1,44 @@
+import numpy as np
+
+from grafp_tpu.retrieval.hnsw import IndexHNSW
+
+
+def _corpus(rng, n=800, d=24):
+    db = rng.randn(n, d).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    gt = rng.choice(n, 50, replace=False)
+    q = db[gt] + 0.03 * rng.randn(50, d).astype(np.float32)
+    return db, q, gt
+
+
+def test_hnsw_recall(rng):
+    db, q, gt = _corpus(rng)
+    idx = IndexHNSW(db.shape[1], m=16, ef_construction=80)
+    idx.train(db)
+    idx.add(db)
+    assert idx.ntotal == len(db)
+    d, i = idx.search(q, 10)
+    assert (np.mean(i[:, 0] == gt)) >= 0.95
+    assert (np.diff(d, axis=1) >= -1e-6).all()  # sorted ascending
+
+
+def test_hnsw_incremental_add(rng):
+    db, q, gt = _corpus(rng, n=400)
+    idx = IndexHNSW(db.shape[1])
+    idx.add(db[:200])
+    idx.add(db[200:])
+    assert idx.ntotal == 400
+    _, i = idx.search(q, 5)
+    assert np.mean(i[:, 0] == gt) >= 0.9
+    rec = idx.reconstruct_n(10, 5)
+    np.testing.assert_array_equal(rec, db[10:15])
+
+
+def test_hnsw_in_factory(rng):
+    from grafp_tpu.retrieval.index import get_index
+
+    db, q, gt = _corpus(rng, n=300, d=128)
+    idx = get_index("hnsw", db, db.shape, use_gpu=False)
+    idx.add(db)
+    d, i = idx.search(q[:5], 3)
+    assert i.shape == (5, 3)
