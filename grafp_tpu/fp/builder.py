@@ -82,6 +82,28 @@ class FingerprintPipeline:
         snr = tuple(float(s) for s in cfg["val_snr"])
         self._val_snr = snr
 
+        # ---- fused per-track device program (one compile per length
+        # bucket): padded wave -> log-mel -> unfold -> batched embed ->
+        # all fingerprints. Only the wave goes up and the (S, d)
+        # fingerprints come down - essential on a remote-attached TPU
+        # where per-track host<->device round trips dominate (measured:
+        # staging segments through the host capped the build at ~1k fp/s
+        # vs ~7k fp/s model throughput).
+        @functools.partial(jax.jit, static_argnames=())
+        def _embed_track(padded_wave):
+            mel = log_mel_spectrogram(padded_wave, self.mcfg_nopad)[0]
+            total = mel.shape[1]
+            s_b = (total - self.n_frames) // self.step + 1
+            segs = unfold_segments(mel, self.n_frames, self.step)
+            nb = -(-s_b // self.batch_size)
+            pad = nb * self.batch_size - s_b
+            segs = jnp.pad(segs, ((0, pad), (0, 0), (0, 0)))
+            batches = segs.reshape(nb, self.batch_size, *segs.shape[1:])
+            zs = jax.lax.map(self._embed, batches)
+            return zs.reshape(nb * self.batch_size, -1)
+
+        self._embed_track = _embed_track
+
     # -- per-track spectrogram, exact tail semantics --------------------
     def track_logmel(self, wave: np.ndarray) -> np.ndarray:
         """(T,) float32 -> (n_mels, 1 + T//hop) log-mel, identical to the
@@ -120,6 +142,32 @@ class FingerprintPipeline:
         return np.asarray(
             unfold_segments(jnp.asarray(spec), self.n_frames, self.step)
         )
+
+    def _pad_track(self, wave: np.ndarray) -> Tuple[np.ndarray, int]:
+        """Reflect-pad true samples + zero-fill to the length bucket;
+        returns (padded (1, L), n_true_segments)."""
+        t = len(wave)
+        n_true_frames = 1 + t // self.hop
+        pad = self.n_fft // 2
+        w = np.concatenate([wave[pad:0:-1], wave, wave[-2:-pad - 2:-1]])
+        bucket_len = pad * 2 + max(
+            self.bucket, int(math.ceil(t / self.bucket)) * self.bucket
+        )
+        if len(w) < bucket_len:
+            w = np.pad(w, (0, bucket_len - len(w)))
+        s_true = num_segments(n_true_frames, self.n_frames, self.step)
+        return w[None, :], s_true
+
+    def fingerprint_track(self, wave: np.ndarray) -> np.ndarray:
+        """(T,) raw audio -> (S, d) fingerprints, fully on device (one
+        wave upload, one fingerprint download; identical numerics to
+        segments_for + embed)."""
+        wave = np.asarray(wave, np.float32)
+        padded, s_true = self._pad_track(wave)
+        if s_true <= 0:
+            return np.zeros((0, self.d), np.float32)
+        z = self._embed_track(jnp.asarray(padded))
+        return np.asarray(z[:s_true])
 
     # -- rolling full-batch embedder ------------------------------------
     def embed_stream(
@@ -160,18 +208,17 @@ def create_dummy_db(
     loader, pipeline: FingerprintPipeline, output_root_dir: str,
     fname: str = "dummy_db", verbose: bool = True,
 ) -> Tuple[int, int]:
-    """Clean fingerprints of every track (reference test_fp.py:127-158)."""
+    """Clean fingerprints of every track (reference test_fp.py:127-158),
+    via the fused per-track device program."""
     cfg = pipeline.cfg
     writer = MemmapWriter(output_root_dir, fname, pipeline.d,
                           capacity=_capacity(len(loader), cfg))
-
-    def blocks():
-        for i, wave in enumerate(loader):
-            if verbose and i % 100 == 0:
-                print(f"=> dummy db [{i}/{len(loader)}]")
-            yield pipeline.segments_for(np.asarray(wave, np.float32))
-
-    n = pipeline.embed_stream(blocks(), writer)
+    for i, wave in enumerate(loader):
+        if verbose and i % 100 == 0:
+            print(f"=> dummy db [{i}/{len(loader)}]")
+        z = pipeline.fingerprint_track(np.asarray(wave, np.float32))
+        if len(z):
+            writer.append(z)
     return writer.close()
 
 
@@ -190,22 +237,22 @@ def create_fp_db(
     w_q = MemmapWriter(output_root_dir, "query", pipeline.d, capacity=cap)
     key = jax.random.key(seed)
 
-    clean_blocks, dirty_blocks = [], []
+    n1 = n2 = 0
     for i, wave in enumerate(loader):
         wave = np.asarray(wave, np.float32)
         if verbose and i % 10 == 0:
             print(f"=> fp db [{i}/{len(loader)}]")
         key, sub = jax.random.split(key)
-        seg_clean = pipeline.segments_for(wave)
+        z_clean = pipeline.fingerprint_track(wave)
         corrupted = pipeline.corrupt_track(wave, banks, sub, ir_prob=ir_prob)
-        seg_dirty = pipeline.segments_for(corrupted)
+        z_dirty = pipeline.fingerprint_track(corrupted)
         # row alignment: truncate to the common segment count
-        s = min(len(seg_clean), len(seg_dirty))
-        clean_blocks.append(seg_clean[:s])
-        dirty_blocks.append(seg_dirty[:s])
-
-    n1 = pipeline.embed_stream(clean_blocks, w_db)
-    n2 = pipeline.embed_stream(dirty_blocks, w_q)
+        s = min(len(z_clean), len(z_dirty))
+        if s:
+            w_db.append(z_clean[:s])
+            w_q.append(z_dirty[:s])
+            n1 += s
+            n2 += s
     assert n1 == n2, (n1, n2)
     w_db.close()
     return w_q.close()
@@ -221,17 +268,7 @@ def create_db(
 
     outs = []
     for i, wave in enumerate(loader):
-        segs = pipeline.segments_for(np.asarray(wave, np.float32))
-        zs = []
-        b = pipeline.batch_size
-        for j in range(0, len(segs), b):
-            blk = segs[j:j + b]
-            pad = b - len(blk)
-            if pad:
-                blk = np.pad(blk, ((0, pad), (0, 0), (0, 0)))
-            z = np.asarray(pipeline._embed(jnp.asarray(blk)))
-            zs.append(z[: b - pad] if pad else z)
-        outs.append(np.concatenate(zs) if zs else np.zeros((0, pipeline.d)))
+        outs.append(pipeline.fingerprint_track(np.asarray(wave, np.float32)))
         if verbose and i % 10 == 0:
             print(f"=> generate [{i}/{len(loader)}]")
     fp = np.concatenate(outs, axis=0) if concat else np.array(outs, dtype=object)

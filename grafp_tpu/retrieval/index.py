@@ -70,7 +70,9 @@ def _merge_topk(dist_blocks, id_blocks, k):
 
 
 class _BlockScanSearcher:
-    """Shared machinery: scan DB blocks, score, mask, running top-k."""
+    """Shared machinery: one jitted scan over DB blocks (decode -> score
+    -> probe-mask -> running top-k merge; retrieval/search.py:
+    masked_scan_search)."""
 
     def __init__(self):
         self.nprobe = 20
@@ -78,57 +80,45 @@ class _BlockScanSearcher:
         self.is_trained = True
 
     # --- subclass hooks -------------------------------------------------
-    def _num_rows(self) -> int:
+    def _payload(self):
+        """Returns (rows_or_codes padded (Mp, *), codebooks, cells padded
+        (Mp,), has_codes). Cached per add() epoch."""
         raise NotImplementedError
-
-    def _block(self, start: int, size: int) -> jnp.ndarray:
-        """Return (size, d) float32 reconstructions for rows [start,start+size)."""
-        raise NotImplementedError
-
-    def _cell_ids(self, start: int, size: int) -> Optional[jnp.ndarray]:
-        return None
 
     def _coarse_membership(self, q: jnp.ndarray) -> Optional[jnp.ndarray]:
         """(Q, nlist) bool: is cell c probed by query q. None = no IVF."""
         return None
 
-    def _row_ids(self, start: int, size: int) -> jnp.ndarray:
-        raise NotImplementedError
-
-    # --- search ----------------------------------------------------------
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        from grafp_tpu.retrieval.search import masked_scan_search
+
         qj, nq = _pad_queries(np.asarray(q, np.float32))
+        rows, codebooks, cells, has_codes = self._payload()
         member = self._coarse_membership(qj)
-        m = self._num_rows()
-        q2 = jnp.sum(qj * qj, axis=1, keepdims=True)
-
-        dists, ids = [], []
-        for start in range(0, m, _DB_BLOCK):
-            size = min(_DB_BLOCK, m - start)
-            rows = self._block(start, size)
-            inner = jnp.matmul(qj, rows.T, preferred_element_type=jnp.float32)
-            dist = q2 - 2.0 * inner + jnp.sum(rows * rows, axis=1)[None, :]
-            cells = self._cell_ids(start, size)
-            if member is not None and cells is not None:
-                ok = member[:, cells]                      # (Q, size) gather
-                dist = jnp.where(ok, dist, jnp.inf)
-            kk = min(k, size)
-            nd, sel = jax.lax.top_k(-dist, kk)
-            gids = self._row_ids(start, size)[sel]
-            d_blk = -nd
-            if kk < k:
-                d_blk = jnp.pad(d_blk, ((0, 0), (0, k - kk)),
-                                constant_values=jnp.inf)
-                gids = jnp.pad(gids, ((0, 0), (0, k - kk)),
-                               constant_values=-1)
-            dists.append(d_blk)
-            ids.append(gids)
-
-        d, i = _merge_topk(tuple(dists), tuple(ids), k)
+        has_cells = member is not None and cells is not None
+        if not has_cells:
+            member = jnp.zeros((qj.shape[0], 1), bool)
+            cells = jnp.zeros((rows.shape[0],), jnp.int32)
+        if codebooks is None:
+            codebooks = jnp.zeros((1, 1, 1), jnp.float32)
+        block = min(_DB_BLOCK, rows.shape[0])
+        d, i = masked_scan_search(
+            qj, rows, codebooks, cells, member,
+            jnp.int32(self.ntotal), k, block,
+            has_cells=has_cells, has_codes=has_codes,
+        )
         d = np.asarray(d)[:nq]
         i = np.asarray(i)[:nq]
         i = np.where(np.isinf(d), -1, i)  # FAISS convention: missing = -1
         return d, i
+
+
+def _pad_rows(arr: np.ndarray, block: int, fill=0):
+    mp = -(-len(arr) // block) * block
+    if mp == len(arr):
+        return arr
+    pad = np.full((mp - len(arr),) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad])
 
 
 class IndexFlat(_BlockScanSearcher):
@@ -138,7 +128,7 @@ class IndexFlat(_BlockScanSearcher):
         super().__init__()
         self.d = d
         self._rows = []
-        self._dev = None
+        self._cache = None
 
     def train(self, data) -> None:  # flat index: no-op (eval.py:118)
         pass
@@ -146,25 +136,18 @@ class IndexFlat(_BlockScanSearcher):
     def add(self, data) -> None:
         data = np.asarray(data, np.float32)
         self._rows.append(data)
-        self._dev = None
+        self._cache = None
         self.ntotal += len(data)
 
-    def _materialize(self):
-        if self._dev is None:
-            self._dev = jnp.asarray(np.concatenate(self._rows))
-        return self._dev
-
-    def _num_rows(self):
-        return self.ntotal
-
-    def _block(self, start, size):
-        return jax.lax.dynamic_slice_in_dim(self._materialize(), start, size)
-
-    def _row_ids(self, start, size):
-        return jnp.arange(start, start + size, dtype=jnp.int32)
+    def _payload(self):
+        if self._cache is None:
+            rows = np.concatenate(self._rows)
+            block = min(_DB_BLOCK, max(len(rows), 1))
+            self._cache = (jnp.asarray(_pad_rows(rows, block)), None, None, False)
+        return self._cache
 
     def reconstruct_n(self, start: int, n: int) -> np.ndarray:
-        return np.asarray(self._materialize()[start:start + n])
+        return np.concatenate(self._rows)[start:start + n]
 
 
 class IndexIVFFlat(IndexFlat):
@@ -193,15 +176,18 @@ class IndexIVFFlat(IndexFlat):
 
         cells = np.asarray(assign(jnp.asarray(data), self.centroids))
         self._rows.append(data)
-        self._cells.append(cells)
-        self._dev = None
-        self._cells_dev = None
+        self._cells.append(cells.astype(np.int32))
+        self._cache = None
         self.ntotal += len(data)
 
-    def _cell_ids(self, start, size):
-        if getattr(self, "_cells_dev", None) is None:
-            self._cells_dev = jnp.asarray(np.concatenate(self._cells))
-        return jax.lax.dynamic_slice_in_dim(self._cells_dev, start, size)
+    def _payload(self):
+        if self._cache is None:
+            rows = np.concatenate(self._rows)
+            block = min(_DB_BLOCK, max(len(rows), 1))
+            cells = _pad_rows(np.concatenate(self._cells), block, fill=-1)
+            self._cache = (jnp.asarray(_pad_rows(rows, block)), None,
+                           jnp.asarray(cells), False)
+        return self._cache
 
     def _coarse_membership(self, q):
         score = jnp.matmul(q, self.centroids.T, preferred_element_type=jnp.float32)
@@ -215,8 +201,8 @@ class IndexIVFFlat(IndexFlat):
 
 class IndexIVFPQ(IndexIVFFlat):
     """IVF cells + PQ-compressed storage (reference 'ivfpq': n_centroids
-    cells, code_sz=64, nbits=8, eval.py:65-69). Search scores
-    PQ reconstructions (asymmetric distance)."""
+    cells, code_sz=64, nbits=8, eval.py:65-69). Search decodes blocks on
+    the fly and scores reconstructions (asymmetric distance)."""
 
     def __init__(self, d: int, nlist: int, code_sz: int = 64, nbits: int = 8,
                  seed: int = 0):
@@ -237,24 +223,25 @@ class IndexIVFPQ(IndexIVFFlat):
         cells = np.asarray(assign(jnp.asarray(data), self.centroids))
         codes = np.asarray(self.pq.encode(jnp.asarray(data)))
         self._codes.append(codes)
-        self._cells.append(cells)
-        self._codes_dev = None
-        self._cells_dev = None
+        self._cells.append(cells.astype(np.int32))
+        self._cache = None
         self.ntotal += len(data)
 
-    def _num_rows(self):
-        return self.ntotal
+    def _payload(self):
+        if self._cache is None:
+            codes = np.concatenate(self._codes)
+            block = min(_DB_BLOCK, max(len(codes), 1))
+            cells = _pad_rows(np.concatenate(self._cells), block, fill=-1)
+            self._cache = (jnp.asarray(_pad_rows(codes, block)),
+                           self.pq.codebooks, jnp.asarray(cells), True)
+        return self._cache
 
-    def _block(self, start, size):
-        if getattr(self, "_codes_dev", None) is None:
-            self._codes_dev = jnp.asarray(np.concatenate(self._codes))
-        codes = jax.lax.dynamic_slice_in_dim(self._codes_dev, start, size)
-        return self.pq.decode(codes)
+    def codes_array(self) -> jnp.ndarray:
+        return jnp.asarray(np.concatenate(self._codes))
 
     def reconstruct_n(self, start: int, n: int) -> np.ndarray:
-        if getattr(self, "_codes_dev", None) is None:
-            self._codes_dev = jnp.asarray(np.concatenate(self._codes))
-        return np.asarray(self.pq.decode(self._codes_dev[start:start + n]))
+        codes = np.concatenate(self._codes)
+        return np.asarray(self.pq.decode(jnp.asarray(codes[start:start + n])))
 
 
 class IndexIVFPQR(IndexIVFPQ):
@@ -282,18 +269,15 @@ class IndexIVFPQR(IndexIVFPQ):
         super().add(data)
         rec = np.asarray(self.pq.decode(self.pq.encode(jnp.asarray(data))))
         self._rcodes.append(np.asarray(self.refine.encode(jnp.asarray(data - rec))))
-        self._rcodes_dev = None
 
     def search(self, q, k):
         d0, i0 = super().search(np.asarray(q), k * self.k_factor)
-        if getattr(self, "_rcodes_dev", None) is None:
-            self._rcodes_dev = jnp.asarray(np.concatenate(self._rcodes))
         qj = jnp.asarray(np.asarray(q, np.float32))
         cand = jnp.asarray(np.maximum(i0, 0))              # (Q, k*f)
-        base = self.pq.decode(
-            jax.lax.dynamic_slice_in_dim(self._codes_dev, 0, self.ntotal)[cand.reshape(-1)]
-        )
-        res = self.refine.decode(self._rcodes_dev[cand.reshape(-1)])
+        codes = self.codes_array()
+        rcodes = jnp.asarray(np.concatenate(self._rcodes))
+        base = self.pq.decode(codes[cand.reshape(-1)])
+        res = self.refine.decode(rcodes[cand.reshape(-1)])
         rec = (base + res).reshape(cand.shape[0], cand.shape[1], -1)
         dist = jnp.sum((qj[:, None, :] - rec) ** 2, axis=-1)
         dist = jnp.where(jnp.asarray(i0) < 0, jnp.inf, dist)

@@ -114,6 +114,75 @@ def exact_topk(
     return _topk_dist(q, db, k, metric=metric)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "metric", "has_cells", "has_codes"),
+)
+def masked_scan_search(
+    q: jnp.ndarray,           # (Q, d) float32
+    rows_or_codes: jnp.ndarray,  # (Mp, d) rows or (Mp, n_sub) uint8 codes
+    codebooks,                # (n_sub, ksub, dsub) when has_codes
+    cells,                    # (Mp,) int32 cell ids (when has_cells)
+    member,                   # (Q, nlist) bool probe membership
+    m_valid: jnp.ndarray,     # scalar: true row count
+    k: int,
+    block: int,
+    metric: str = "l2",
+    has_cells: bool = False,
+    has_codes: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One compiled scan over DB blocks: (decode ->) distance matmul ->
+    IVF probe masking -> running top-k merge. The unified engine behind
+    the index family (a Python block loop would pay one remote dispatch
+    per op per block on this TPU transport)."""
+    mp = rows_or_codes.shape[0]
+    nblk = mp // block
+    kk = min(k, block)
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+
+    row_blocks = rows_or_codes.reshape(nblk, block, -1)
+    cell_blocks = (cells.reshape(nblk, block) if has_cells
+                   else jnp.zeros((nblk, 1), jnp.int32))
+    bases = jnp.arange(nblk) * block
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        blk, blk_cells, base = inp
+        if has_codes:
+            n_sub = blk.shape[-1]
+            rec = jnp.take_along_axis(
+                codebooks[None],
+                blk.astype(jnp.int32)[..., None, None],
+                axis=2,
+            )[:, :, 0, :]
+            rows = rec.reshape(block, -1)
+        else:
+            rows = blk
+        inner = jnp.matmul(q, rows.T, preferred_element_type=jnp.float32)
+        dist = q2 - 2.0 * inner + jnp.sum(rows * rows, axis=1)[None, :]
+        ids = base + jnp.arange(block)
+        dist = jnp.where((ids >= m_valid)[None, :], jnp.inf, dist)
+        if has_cells:
+            ok = jnp.take_along_axis(
+                member, jnp.clip(blk_cells, 0, member.shape[1] - 1)[None, :]
+                .repeat(q.shape[0], 0), axis=1,
+            )
+            dist = jnp.where(ok, dist, jnp.inf)
+        nd, sel = jax.lax.top_k(-dist, kk)
+        gids = ids[sel]
+        cat_s = jnp.concatenate([best_s, -nd], axis=1)
+        cat_i = jnp.concatenate([best_i, gids], axis=1)
+        ms, msel = jax.lax.top_k(-cat_s, k)
+        return (-ms, jnp.take_along_axis(cat_i, msel, 1)), None
+
+    init = (
+        jnp.full((q.shape[0], k), jnp.inf),
+        jnp.full((q.shape[0], k), -1, jnp.int32),
+    )
+    (s, i), _ = jax.lax.scan(body, init, (row_blocks, cell_blocks, bases))
+    return s, i
+
+
 def exact_topk_sharded(
     q: jnp.ndarray,
     db: jnp.ndarray,

@@ -194,15 +194,101 @@ def torch_state_dict_to_tree(
     return unflatten_dict(to_f32(P)), unflatten_dict(to_f32(S))
 
 
-def import_torch_checkpoint(path: str) -> Tuple[Dict, Dict, Dict]:
+def torch_ast_state_dict_to_tree(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Map a reference SimCLR(ASTEncoder) state_dict (ast_encoder.py:
+    278-415) to (params, batch_stats={}) for models/ast.ASTEncoder."""
+    sd = _strip_module_prefix(sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    P: Dict[Tuple[str, ...], np.ndarray] = {}
+    e = ("encoder",)
+    # patchify conv (O, I, kh, kw) -> (kh, kw, I, O)
+    P[e + ("patch", "kernel")] = _conv2d_to_hwio(
+        sd["encoder.patch_embed.projection.weight"])
+    P[e + ("patch", "bias")] = sd["encoder.patch_embed.projection.bias"]
+    P[e + ("cls_token",)] = sd["encoder.cls_token"]
+    P[e + ("pos_embed",)] = sd["encoder.pos_embed"]
+    depth = max(
+        int(k.split(".")[2]) for k in sd if k.startswith("encoder.blocks.")
+    ) + 1
+    for i in range(depth):
+        src = f"encoder.blocks.{i}"
+        blk = e + (f"block{i}",)
+        for ln, dst in (("norm1", "norm1"), ("norm2", "norm2")):
+            P[blk + (dst, "scale")] = sd[f"{src}.{ln}.weight"]
+            P[blk + (dst, "bias")] = sd[f"{src}.{ln}.bias"]
+        for lin, dst in (("attn.qkv", "qkv"), ("attn.proj", "proj"),
+                         ("mlp.fc1", "mlp_fc1"), ("mlp.fc2", "mlp_fc2")):
+            P[blk + (dst, "kernel")] = np.transpose(sd[f"{src}.{lin}.weight"])
+            P[blk + (dst, "bias")] = sd[f"{src}.{lin}.bias"]
+    P[e + ("norm", "scale")] = sd["encoder.norm.weight"]
+    P[e + ("norm", "bias")] = sd["encoder.norm.bias"]
+    P[e + ("head", "kernel")] = np.transpose(sd["encoder.head.weight"])
+    P[e + ("head", "bias")] = sd["encoder.head.bias"]
+    P[("projector", "fc1", "kernel")] = np.transpose(sd["projector.0.weight"])
+    P[("projector", "fc1", "bias")] = sd["projector.0.bias"]
+    P[("projector", "fc2", "kernel")] = np.transpose(sd["projector.2.weight"])
+    P[("projector", "fc2", "bias")] = sd["projector.2.bias"]
+    to_f32 = {k: np.asarray(v, np.float32) for k, v in P.items()}
+    return unflatten_dict(to_f32), {}
+
+
+def torch_nafp_state_dict_to_tree(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Map a reference SimCLR(NAFPEncoder) state_dict
+    (neural_audio_fp.py:12-46: Sequential indices 6i conv-a, 6i+1 ln-a,
+    6i+3 conv-b, 6i+4 ln-b) to models/nafp.NAFPEncoder."""
+    sd = _strip_module_prefix(sd)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    P: Dict[Tuple[str, ...], np.ndarray] = {}
+    e = ("encoder",)
+    n_stages = sum(
+        1 for k in sd if k.startswith("encoder.conv_layers.")
+        and k.endswith(".weight") and np.asarray(sd[k]).ndim == 4
+    ) // 2
+    for i in range(n_stages):
+        P[e + (f"conv{i}a", "kernel")] = _conv2d_to_hwio(
+            sd[f"encoder.conv_layers.{6 * i}.weight"])
+        P[e + (f"conv{i}a", "bias")] = sd[f"encoder.conv_layers.{6 * i}.bias"]
+        # torch LN shape (C, H, W) -> ours (H, W, C)
+        P[e + (f"ln{i}a", "scale")] = np.transpose(
+            sd[f"encoder.conv_layers.{6 * i + 1}.weight"], (1, 2, 0))
+        P[e + (f"ln{i}a", "bias")] = np.transpose(
+            sd[f"encoder.conv_layers.{6 * i + 1}.bias"], (1, 2, 0))
+        P[e + (f"conv{i}b", "kernel")] = _conv2d_to_hwio(
+            sd[f"encoder.conv_layers.{6 * i + 3}.weight"])
+        P[e + (f"conv{i}b", "bias")] = sd[f"encoder.conv_layers.{6 * i + 3}.bias"]
+        P[e + (f"ln{i}b", "scale")] = np.transpose(
+            sd[f"encoder.conv_layers.{6 * i + 4}.weight"], (1, 2, 0))
+        P[e + (f"ln{i}b", "bias")] = np.transpose(
+            sd[f"encoder.conv_layers.{6 * i + 4}.bias"], (1, 2, 0))
+    P[("projector", "fc1", "kernel")] = np.transpose(sd["projector.0.weight"])
+    P[("projector", "fc1", "bias")] = sd["projector.0.bias"]
+    P[("projector", "fc2", "kernel")] = np.transpose(sd["projector.2.weight"])
+    P[("projector", "fc2", "bias")] = sd["projector.2.bias"]
+    to_f32 = {k: np.asarray(v, np.float32) for k, v in P.items()}
+    return unflatten_dict(to_f32), {}
+
+
+def import_torch_checkpoint(path: str, arch: str = "grafp") -> Tuple[Dict, Dict, Dict]:
     """Load a reference .pth -> (params, batch_stats, meta). Requires
-    torch (CPU) for unpickling."""
+    torch (CPU) for unpickling. arch selects the key mapping
+    ('grafp' | 'ast' | 'nafp'); auto-detected from the keys when the
+    state_dict makes it unambiguous."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
     sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    params, batch_stats = torch_state_dict_to_tree(sd_np)
+    keys = set(_strip_module_prefix(sd_np).keys())
+    if any(k.startswith("encoder.blocks.") for k in keys):
+        arch = "ast"
+    elif any(k.startswith("encoder.conv_layers.") for k in keys):
+        arch = "nafp"
+    if arch == "ast":
+        params, batch_stats = torch_ast_state_dict_to_tree(sd_np)
+    elif arch == "nafp":
+        params, batch_stats = torch_nafp_state_dict_to_tree(sd_np)
+    else:
+        params, batch_stats = torch_state_dict_to_tree(sd_np)
     meta = {k: ckpt[k] for k in ("epoch", "loss", "valid_acc", "hit_rate")
             if isinstance(ckpt, dict) and k in ckpt}
     return params, batch_stats, meta

@@ -1,0 +1,44 @@
+"""Retrieval latency vs block size / top-k algorithm (TPU)."""
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp, numpy as np
+from grafp_tpu.retrieval.search import exact_topk
+
+def fence(x): return float(jnp.ravel(x)[0])
+
+m, d = 7_000_000, 128
+keys = jax.random.split(jax.random.key(1), 8)
+db = jnp.concatenate([jax.random.normal(k, (m // 8, d), jnp.float32) for k in keys])
+db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
+q = jax.random.normal(jax.random.key(3), (19, d), jnp.float32)
+
+for br in (1 << 16, 1 << 18, 1 << 20, 1 << 22):
+    f = jax.jit(lambda qq: exact_topk(qq, db, 20, block_rows=br)[1])
+    fence(f(q))
+    lat = []
+    for t in range(10):
+        t0 = time.time(); fence(f(q + t * 1e-5)); lat.append(time.time() - t0)
+    print(f"block_rows={br:>8}: p50 {np.percentile(np.array(lat)*1e3,50):6.1f} ms", flush=True)
+
+# approx_max_k over full scores
+@jax.jit
+def approx_full(qq):
+    inner = qq @ db.T
+    return jax.lax.approx_max_k(inner, 20)[1]
+fence(approx_full(q))
+lat = []
+for t in range(10):
+    t0 = time.time(); fence(approx_full(q + t * 1e-5)); lat.append(time.time() - t0)
+print(f"approx_max_k (ip, full): p50 {np.percentile(np.array(lat)*1e3,50):6.1f} ms", flush=True)
+
+# bf16 inner product variant
+@jax.jit
+def approx_bf16(qq):
+    inner = jnp.matmul(qq.astype(jnp.bfloat16), db.T.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jax.lax.approx_max_k(inner, 20)[1]
+fence(approx_bf16(q))
+lat = []
+for t in range(10):
+    t0 = time.time(); fence(approx_bf16(q + t * 1e-5)); lat.append(time.time() - t0)
+print(f"approx_max_k (bf16 ip):  p50 {np.percentile(np.array(lat)*1e3,50):6.1f} ms", flush=True)
