@@ -13,32 +13,32 @@ db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
 q = jax.random.normal(jax.random.key(3), (19, d), jnp.float32)
 
 for br in (1 << 16, 1 << 18, 1 << 20, 1 << 22):
-    f = jax.jit(lambda qq: exact_topk(qq, db, 20, block_rows=br)[1])
-    fence(f(q))
+    f = jax.jit(lambda qq, dd, b=br: exact_topk(qq, dd, 20, block_rows=b)[1])
+    fence(f(q, db))
     lat = []
     for t in range(10):
-        t0 = time.time(); fence(f(q + t * 1e-5)); lat.append(time.time() - t0)
+        t0 = time.time(); fence(f(q + t * 1e-5, db)); lat.append(time.time() - t0)
     print(f"block_rows={br:>8}: p50 {np.percentile(np.array(lat)*1e3,50):6.1f} ms", flush=True)
 
 # approx_max_k over full scores
 @jax.jit
-def approx_full(qq):
-    inner = qq @ db.T
+def approx_full(qq, dd):
+    inner = qq @ dd.T
     return jax.lax.approx_max_k(inner, 20)[1]
-fence(approx_full(q))
+fence(approx_full(q, db))
 lat = []
 for t in range(10):
-    t0 = time.time(); fence(approx_full(q + t * 1e-5)); lat.append(time.time() - t0)
+    t0 = time.time(); fence(approx_full(q + t * 1e-5, db)); lat.append(time.time() - t0)
 print(f"approx_max_k (ip, full): p50 {np.percentile(np.array(lat)*1e3,50):6.1f} ms", flush=True)
 
 # bf16 inner product variant
 @jax.jit
-def approx_bf16(qq):
-    inner = jnp.matmul(qq.astype(jnp.bfloat16), db.T.astype(jnp.bfloat16),
+def approx_bf16(qq, dd):
+    inner = jnp.matmul(qq.astype(jnp.bfloat16), dd.T.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     return jax.lax.approx_max_k(inner, 20)[1]
-fence(approx_bf16(q))
+fence(approx_bf16(q, db))
 lat = []
 for t in range(10):
-    t0 = time.time(); fence(approx_bf16(q + t * 1e-5)); lat.append(time.time() - t0)
+    t0 = time.time(); fence(approx_bf16(q + t * 1e-5, db)); lat.append(time.time() - t0)
 print(f"approx_max_k (bf16 ip):  p50 {np.percentile(np.array(lat)*1e3,50):6.1f} ms", flush=True)
