@@ -157,15 +157,20 @@ def main(argv=None):
         t0 = time.time()
         loss_epoch = 0.0
         ekey = jax.random.fold_in(root_key, epoch)
+        step_losses = []
         for idx, (x_i, x_j) in enumerate(train_loader):
             xi = jax.device_put(jnp.asarray(x_i), batch_sharding)
             xj = jax.device_put(jnp.asarray(x_j), batch_sharding)
             state, metrics = step(state, xi, xj,
                                   jax.random.fold_in(ekey, idx))
-            loss = float(metrics["loss"])
-            loss_epoch += loss
+            # keep losses as device scalars: fetching every step would
+            # serialize host<->device on the remote TPU transport
+            step_losses.append(metrics["loss"])
             if idx % 10 == 0:
-                print(f"Step [{idx}/{len(train_loader)}]\t Net Loss: {loss}")
+                print(f"Step [{idx}/{len(train_loader)}]\t Net Loss: "
+                      f"{float(metrics['loss'])}")
+        if step_losses:
+            loss_epoch += float(jnp.sum(jnp.stack(step_losses)))
         print(f"epoch time: {time.time()-t0:.1f}s")
         writer.add_scalar("Loss/train", loss_epoch, epoch)
         loss_log.append(loss_epoch)

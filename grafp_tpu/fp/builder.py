@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import math
 import time
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

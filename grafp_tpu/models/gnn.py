@@ -31,7 +31,7 @@ Faithfulness notes (verified against the reference source):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

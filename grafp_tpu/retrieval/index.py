@@ -59,16 +59,6 @@ def _pad_queries(q: np.ndarray) -> Tuple[jnp.ndarray, int]:
     return jnp.asarray(q, jnp.float32), n
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _merge_topk(dist_blocks, id_blocks, k):
-    """Merge per-block (Q, k') results: concat + global top-k (ascending
-    distance)."""
-    d = jnp.concatenate(dist_blocks, axis=1)
-    i = jnp.concatenate(id_blocks, axis=1)
-    nd, sel = jax.lax.top_k(-d, k)
-    return -nd, jnp.take_along_axis(i, sel, 1)
-
-
 class _BlockScanSearcher:
     """Shared machinery: one jitted scan over DB blocks (decode -> score
     -> probe-mask -> running top-k merge; retrieval/search.py:
