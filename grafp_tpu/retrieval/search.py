@@ -183,6 +183,44 @@ def masked_scan_search(
     return s, i
 
 
+def exact_topk_streaming(
+    q: np.ndarray,
+    db,                      # np.memmap or ndarray, possibly >HBM
+    k: int,
+    host_block: int = 1 << 21,
+    device_block: int = 1 << 18,
+    metric: str = "l2",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k over a larger-than-HBM database: stream host blocks
+    (memmap reads) through the on-device scan and merge on host.
+
+    For fingerprint workloads PQ compression usually makes the DB fit
+    (31M x 64 B = 2 GB for fma_large) - use IndexIVFPQ then; this is the
+    uncompressed-exact fallback. Each host block pays a host->device
+    transfer, so size host_block to amortize (1 GB blocks by default).
+    """
+    qj = jnp.asarray(np.asarray(q, np.float32))
+    m = db.shape[0]
+    best_s = np.full((len(q), k), np.inf if metric == "l2" else -np.inf,
+                     np.float32)
+    best_i = np.full((len(q), k), -1, np.int64)
+    sign = -1.0 if metric == "l2" else 1.0
+    for start in range(0, m, host_block):
+        stop = min(start + host_block, m)
+        blk = np.asarray(db[start:stop], np.float32)
+        s, i = exact_topk(qj, jnp.asarray(blk), min(k, len(blk)),
+                          metric=metric,
+                          block_rows=min(device_block, len(blk)))
+        s = np.asarray(s)
+        i = np.asarray(i) + start
+        cat_s = np.concatenate([best_s, s], axis=1)
+        cat_i = np.concatenate([best_i, i], axis=1)
+        order = np.argsort(sign * -cat_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(cat_s, order, 1)
+        best_i = np.take_along_axis(cat_i, order, 1)
+    return best_s, best_i
+
+
 def exact_topk_sharded(
     q: jnp.ndarray,
     db: jnp.ndarray,

@@ -81,3 +81,22 @@ def test_memmap_writer_streaming(tmp_path, rng):
     data, shape = load_memmap_data(str(tmp_path), "q", display=False)
     assert tuple(shape) == (12, 4)
     np.testing.assert_array_equal(np.asarray(data), np.concatenate([a, b]))
+
+
+def test_exact_topk_streaming_matches_dense(rng):
+    from grafp_tpu.retrieval.search import exact_topk_streaming
+
+    q = rng.randn(6, 16).astype(np.float32)
+    db = rng.randn(531, 16).astype(np.float32)
+    s0, i0 = exact_topk(jnp.asarray(q), jnp.asarray(db), 7)
+    s1, i1 = exact_topk_streaming(q, db, 7, host_block=100, device_block=32)
+    np.testing.assert_array_equal(np.asarray(i0), i1)
+    np.testing.assert_allclose(np.asarray(s0), s1, rtol=1e-4, atol=1e-5)
+    # memmap input path
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    mm = np.memmap(os.path.join(tmp, "db.mm"), dtype=np.float32, mode="w+",
+                   shape=db.shape)
+    mm[:] = db
+    s2, i2 = exact_topk_streaming(q, mm, 7, host_block=200)
+    np.testing.assert_array_equal(np.asarray(i0), i2)
