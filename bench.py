@@ -22,8 +22,8 @@ import sys
 import time
 
 REF_FPS_ESTIMATE = 2000.0  # see module docstring
-BATCH = 256
-ITERS = 20
+BATCH = 64   # throughput peaks at small batch on v5e (see CLAUDE.md)
+ITERS = 32
 
 
 def main():
