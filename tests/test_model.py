@@ -128,3 +128,19 @@ def test_simclr_total_param_count():
     vars_ = model.init({"params": jax.random.key(0)}, spec, False)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vars_["params"]))
     assert n == 18_367_264 - 1_032_192
+
+
+def test_graph_encoder_remat(rng):
+    """remat=True must produce identical outputs (recompute-only)."""
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    enc = GraphEncoder(size="t", k=3)
+    enc_r = GraphEncoder(size="t", k=3, remat=True)
+    v = _init(enc, x, False)
+    a = enc.apply(v, x, False)
+    b = enc_r.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    # and gradients flow under remat
+    def loss(p):
+        return jnp.sum(enc_r.apply({"params": p, "batch_stats": v["batch_stats"]}, x, False) ** 2)
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
