@@ -42,7 +42,7 @@ class FingerprintDataset:
     """Index-addressable track source with the reference's failure budget."""
 
     def __init__(self, cfg, path: str, train: bool = False,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, cache_decoded: bool = False):
         self.cfg = cfg
         self.train = train
         self.norm = cfg["norm"]
@@ -58,11 +58,19 @@ class FingerprintDataset:
         self.ignore_idx: set = set()
         self.error_counts: Dict[int, int] = {}
         self.rng = np.random.RandomState(seed)
+        # Decode-once cache: the reference re-decodes + re-resamples every
+        # track every epoch in its dataloader workers (its own input
+        # bottleneck, SURVEY.md §7). fma_small at 16 kHz mono f32 is
+        # ~15 GB - cheap insurance on a production host. Off by default.
+        self.cache_decoded = cache_decoded
+        self._cache: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.filenames)
 
     def _load_track(self, idx: int) -> Optional[np.ndarray]:
+        if self.cache_decoded and idx in self._cache:
+            return self._cache[idx]
         try:
             audio, sr = load_audio(self.filenames[str(idx)])
         except (AudioDecodeError, OSError, KeyError, Exception) as e:  # noqa: B014
@@ -71,7 +79,10 @@ class FingerprintDataset:
             if self.error_counts[idx] > self.error_threshold:
                 self.ignore_idx.add(idx)
             return None
-        return resample_sinc(audio, sr, self.sample_rate)
+        out = resample_sinc(audio, sr, self.sample_rate)
+        if self.cache_decoded:
+            self._cache[idx] = out
+        return out
 
     def __getitem__(self, idx: int):
         """Train: (x_i, x_j) float32 (clip_frames,). Val: full track."""

@@ -213,3 +213,23 @@ def test_qtile_norm_matches_reference_quantile(rng):
 
     ref = 1e-8 + torch.quantile(torch.tensor(y).abs(), q=0.95).item()
     np.testing.assert_allclose(qtile_norm(y, 0.95), ref, rtol=1e-6)
+
+
+def test_dataset_decode_cache(audio_dir, tmp_path):
+    cfg = _cfg(audio_dir, tmp_path)
+    ds = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0,
+                            cache_decoded=True)
+    import time
+
+    _ = ds[0]
+    t0 = time.time()
+    for _ in range(20):
+        _ = ds[0]
+    cached = time.time() - t0
+    ds2 = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0)
+    t0 = time.time()
+    for _ in range(20):
+        _ = ds2[0]
+    uncached = time.time() - t0
+    assert len(ds._cache) >= 1
+    assert cached < uncached  # decode skipped
