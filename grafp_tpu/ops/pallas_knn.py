@@ -69,8 +69,12 @@ def _pallas_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = x.shape
-    t = min(n, 256)  # query-row tile: bounds scores/mask VMEM at t*n f32
-    assert n % t == 0, (n, t)
+    # query-row tile: bounds scores/mask VMEM at ~2*t*n*4 bytes. t=512
+    # halves the key re-reads vs t=256 and measured ~1.5x faster at the
+    # N=512 stage (t=1024 at N=1024 OOMs the 16 MB scoped VMEM).
+    t = min(n, 512)
+    while n % t:
+        t //= 2
     xs = jax.lax.stop_gradient(x)
     xn = l2_normalize(xs, axis=-1)
     kern = functools.partial(_kernel, k)
