@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--validate_every", default=10, type=int,
                    help="retrieval-validation period in epochs "
                         "(10 for grafp, 25 for the baseline drivers)")
+    p.add_argument("--cache_decoded", action="store_true", default=False,
+                   help="decode+resample each training track once and keep "
+                        "it in RAM (fma_small ~15 GB)")
     return p
 
 
@@ -102,7 +105,8 @@ def main(argv=None):
     val_banks = build_augment_banks(noise_val, ir_val, cfg["fs"])
 
     print("Loading dataset...")
-    train_ds = FingerprintDataset(cfg, train_dir, train=True, seed=args.seed)
+    train_ds = FingerprintDataset(cfg, train_dir, train=True, seed=args.seed,
+                              cache_decoded=args.cache_decoded)
     train_loader = PairBatcher(train_ds, cfg["bsz_train"], seed=args.seed)
 
     valid_ds = FingerprintDataset(cfg, valid_dir, train=False)

@@ -100,3 +100,16 @@ def test_exact_topk_streaming_matches_dense(rng):
     mm[:] = db
     s2, i2 = exact_topk_streaming(q, mm, 7, host_block=200)
     np.testing.assert_array_equal(np.asarray(i0), i2)
+
+
+def test_approx_topk_ip(rng):
+    from grafp_tpu.retrieval.search import approx_topk_ip
+
+    q = rng.randn(8, 32).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    db = rng.randn(400, 32).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    _, i_ex = exact_topk(jnp.asarray(q), jnp.asarray(db), 5, metric="ip")
+    _, i_ap = approx_topk_ip(jnp.asarray(q), jnp.asarray(db), 5)
+    # high agreement on top-1
+    assert np.mean(np.asarray(i_ap)[:, 0] == np.asarray(i_ex)[:, 0]) >= 0.75
