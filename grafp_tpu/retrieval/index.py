@@ -28,10 +28,9 @@ Design notes (TPU-first, not a FAISS port):
 * LSH encodes sign bits of random projections as +-1 int8; Hamming
   distance is (nbits - s_q . s_db)/2, i.e. an int8 matmul - MXU native.
 
-* HNSW is an inherently sequential graph walk; on TPU it is dominated by
-  the brute-force matmul at every DB size that fits HBM, so 'hnsw' maps
-  to the exact flat searcher (same results as HNSW at recall=1). A
-  host-side graph implementation is planned for >HBM corpora.
+* HNSW is an inherently sequential graph walk, so like the reference's
+  CPU-only FAISS mode it runs on the host (retrieval/hnsw.py); on-TPU
+  brute force dominates it for any DB that fits HBM.
 """
 
 from __future__ import annotations
@@ -138,6 +137,39 @@ class IndexFlat(_BlockScanSearcher):
 
     def reconstruct_n(self, start: int, n: int) -> np.ndarray:
         return np.concatenate(self._rows)[start:start + n]
+
+
+class IndexFlatSharded(IndexFlat):
+    """Exact L2 with the rows sharded over a mesh 'db' axis: per-chip
+    distance matmul + local top-k, ICI all-gather merge
+    (retrieval/search.py:exact_topk_sharded). Same results as IndexFlat;
+    scales DB capacity and search throughput with chips."""
+
+    def __init__(self, d: int, mesh):
+        super().__init__(d)
+        self.mesh = mesh
+        self._dev_rows = None
+
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        from grafp_tpu.core.mesh import DB_AXIS, db_sharding
+        from grafp_tpu.retrieval.search import exact_topk_sharded
+
+        if self._dev_rows is None:
+            rows = np.concatenate(self._rows)
+            ndev = self.mesh.shape[DB_AXIS]
+            pad = (-len(rows)) % ndev
+            if pad:
+                rows = np.concatenate(
+                    [rows, np.zeros((pad, rows.shape[1]), rows.dtype)]
+                )
+            self._true_rows = self.ntotal
+            self._dev_rows = jax.device_put(rows, db_sharding(self.mesh))
+        qj = jnp.asarray(np.asarray(q, np.float32))
+        d, i = exact_topk_sharded(qj, self._dev_rows, k, self.mesh,
+                                  m_valid=self._true_rows)
+        d = np.asarray(d)
+        i = np.where(np.isinf(d), -1, np.asarray(i))
+        return d, i
 
 
 class IndexIVFFlat(IndexFlat):
@@ -329,6 +361,7 @@ def get_index(
     use_gpu: bool = True,          # accepted for CLI parity; device is the mesh
     max_nitem_train: float = 2e7,
     n_centroids: int = 64,
+    mesh=None,                     # multi-chip: shard 'l2' over the db axis
 ):
     """Factory with the reference's contract (eval.py:9-123): build,
     train on (subsampled) data, set nprobe=20, return."""
@@ -336,7 +369,12 @@ def get_index(
     mode = index_type.lower()
     print(f"Creating index: {mode}")
     if mode == "l2":
-        index = IndexFlat(d)
+        from grafp_tpu.core.mesh import DB_AXIS
+
+        if mesh is not None and mesh.shape.get(DB_AXIS, 1) > 1:
+            index = IndexFlatSharded(d, mesh)
+        else:
+            index = IndexFlat(d)
     elif mode == "ivf":
         index = IndexIVFFlat(d, nlist=400)
     elif mode == "ivfpq":

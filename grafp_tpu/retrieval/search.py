@@ -243,14 +243,19 @@ def exact_topk_sharded(
     k: int,
     mesh: Mesh,
     metric: str = "l2",
+    m_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k with the DB sharded over the mesh 'db' axis.
 
     Local per-shard top-k -> ICI all-gather of (ndev*k) candidates ->
     merged global top-k. Results identical to exact_topk (up to ties).
+    m_valid: true row count when the caller pre-padded db (padded rows
+    are masked before selection).
     """
     ndev = mesh.shape[DB_AXIS]
     m, d = db.shape
+    if m_valid is None:
+        m_valid = m
     shard = -(-m // ndev)
     pad = shard * ndev - m
     db_p = jnp.pad(db, ((0, pad), (0, 0)))
@@ -261,7 +266,7 @@ def exact_topk_sharded(
         base = sidx * shard
         # pre-mask this shard's padded tail rows before the local top-k
         s, i = _topk_dist(qrep, db_shard, kk, metric=metric,
-                          n_valid=m - base)
+                          n_valid=m_valid - base)
         gids = i + base
         all_s = jax.lax.all_gather(s, DB_AXIS, axis=1, tiled=True)   # (Q, ndev*kk)
         all_i = jax.lax.all_gather(gids, DB_AXIS, axis=1, tiled=True)

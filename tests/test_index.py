@@ -137,3 +137,19 @@ def test_factory_contract():
         get_index("bogus", db, db.shape)
     with pytest.raises(NotImplementedError):
         get_index("ivfpq-ondisk", db, db.shape)
+
+
+def test_sharded_flat_matches_flat(corpus):
+    from grafp_tpu.core.mesh import make_mesh
+    from grafp_tpu.retrieval.index import IndexFlatSharded
+
+    db, q, gt = corpus
+    mesh = make_mesh(n_data=1, n_db=8)
+    a = IndexFlat(32)
+    a.add(db[:1001])  # non-dividing row count -> shard padding exercised
+    b = IndexFlatSharded(32, mesh)
+    b.add(db[:1001])
+    da, ia = a.search(q, 7)
+    db_, ib = b.search(q, 7)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db_, rtol=1e-4, atol=1e-5)
