@@ -70,11 +70,25 @@ class MemmapWriter:
             self.path, dtype="float32", mode="w+", shape=(capacity, dim)
         )
 
+    def _grow(self, need: int) -> None:
+        new_cap = max(need, int(self.capacity * 1.5) + 1024)
+        self._mm.flush()
+        del self._mm
+        with open(self.path, "r+b") as f:
+            f.truncate(new_cap * self.dim * 4)
+        self._mm = np.memmap(
+            self.path, dtype="float32", mode="r+",
+            shape=(new_cap, self.dim),
+        )
+        self.capacity = new_cap
+
     def append(self, block: np.ndarray) -> None:
         block = np.asarray(block, np.float32)
         assert block.shape[1] == self.dim
         end = self.n + len(block)
-        assert end <= self.capacity, f"writer overflow {end} > {self.capacity}"
+        if end > self.capacity:
+            # capacity is an estimate (track lengths vary); grow in place
+            self._grow(end)
         self._mm[self.n:end] = block
         self.n = end
 

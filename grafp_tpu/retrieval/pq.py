@@ -36,9 +36,13 @@ class ProductQuantizer:
         sub = data.reshape(m, self.n_sub, self.dsub).transpose(1, 0, 2)
         self.codebooks = kmeans_multi(key, sub, self.ksub, iters)
 
-    def encode(self, data: jnp.ndarray) -> jnp.ndarray:
-        """(M, d) -> (M, n_sub) uint8 (ksub<=256)."""
+    def encode(self, data: jnp.ndarray, chunk: int = 1 << 19) -> jnp.ndarray:
+        """(M, d) -> (M, n_sub) uint8 (ksub<=256). Chunked: the (M,
+        n_sub, ksub) score tensor would be ~0.5 TB for a 7M-row DB."""
         m = data.shape[0]
+        if m > chunk:
+            parts = [self.encode(data[i:i + chunk]) for i in range(0, m, chunk)]
+            return jnp.concatenate(parts)
         sub = data.reshape(m, self.n_sub, self.dsub)
         # scores: (M, n_sub, ksub)
         score = jnp.einsum("msd,skd->msk", sub, self.codebooks,

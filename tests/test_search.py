@@ -113,3 +113,15 @@ def test_approx_topk_ip(rng):
     _, i_ap = approx_topk_ip(jnp.asarray(q), jnp.asarray(db), 5)
     # high agreement on top-1
     assert np.mean(np.asarray(i_ap)[:, 0] == np.asarray(i_ex)[:, 0]) >= 0.75
+
+
+def test_memmap_writer_grows(tmp_path, rng):
+    w = MemmapWriter(str(tmp_path), "g", dim=4, capacity=8)
+    data = rng.randn(30, 4).astype(np.float32)
+    for j in range(0, 30, 5):
+        w.append(data[j:j + 5])
+    n, d = w.close()
+    assert (n, d) == (30, 4)
+    out, shape = load_memmap_data(str(tmp_path), "g", display=False)
+    assert tuple(shape) == (30, 4)
+    np.testing.assert_array_equal(np.asarray(out), data)
