@@ -47,7 +47,8 @@ from grafp_tpu.retrieval.kmeans import kmeans
 from grafp_tpu.retrieval.pq import ProductQuantizer
 
 _QBLOCK = 256            # query padding block
-_DB_BLOCK = 1 << 18      # rows per scored block (256k x 128 f32 = 128 MB)
+_DB_BLOCK = 1 << 20      # rows per scored block; NB 256k f32 blocks hit a
+                         # pathological slow path on v5e (~100x) - keep >= 1M
 
 
 def _pad_queries(q: np.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -249,13 +250,27 @@ class IndexIVFPQ(IndexIVFFlat):
         self._cache = None
         self.ntotal += len(data)
 
+    # decoded-bf16 scan cache: scoring the PQ reconstructions via a dense
+    # bf16 matmul is ~100x faster than per-block decode gathers (measured
+    # 12 q/s -> dense-scan speed at 7M rows) and costs 2 bytes/dim vs the
+    # codes' 0.5 - still 8x smaller than f32. Above this budget fall back
+    # to on-the-fly decode inside the scan.
+    DECODED_CACHE_BYTES = 6 << 30
+
     def _payload(self):
         if self._cache is None:
             codes = np.concatenate(self._codes)
             block = min(_DB_BLOCK, max(len(codes), 1))
             cells = _pad_rows(np.concatenate(self._cells), block, fill=-1)
-            self._cache = (jnp.asarray(_pad_rows(codes, block)),
-                           self.pq.codebooks, jnp.asarray(cells), True)
+            if len(codes) * self.d * 2 <= self.DECODED_CACHE_BYTES:
+                # host decode + host bf16 cast: uploads 2 bytes/dim once
+                rows = _pad_rows(self.pq.decode_host(codes), block)
+                rows = rows.astype(jnp.bfloat16)  # ml_dtypes numpy cast
+                self._cache = (jnp.asarray(rows), None,
+                               jnp.asarray(cells), False)
+            else:
+                self._cache = (jnp.asarray(_pad_rows(codes, block)),
+                               self.pq.codebooks, jnp.asarray(cells), True)
         return self._cache
 
     def codes_array(self) -> jnp.ndarray:

@@ -20,6 +20,15 @@ import jax.numpy as jnp
 from grafp_tpu.retrieval.kmeans import kmeans_multi
 
 
+@functools.partial(jax.jit, static_argnames=("n_sub", "dsub"))
+def _pq_encode_chunk(data, codebooks, n_sub, dsub):
+    sub = data.reshape(data.shape[0], n_sub, dsub)
+    score = jnp.einsum("msd,skd->msk", sub, codebooks,
+                       preferred_element_type=jnp.float32)
+    score = score - 0.5 * jnp.sum(codebooks ** 2, axis=-1)[None]
+    return jnp.argmax(score, axis=-1).astype(jnp.uint8)
+
+
 class ProductQuantizer:
     """d-dim vectors -> (n_sub) uint8 codes. ksub=256 (nbits=8)."""
 
@@ -36,30 +45,52 @@ class ProductQuantizer:
         sub = data.reshape(m, self.n_sub, self.dsub).transpose(1, 0, 2)
         self.codebooks = kmeans_multi(key, sub, self.ksub, iters)
 
-    def encode(self, data: jnp.ndarray, chunk: int = 1 << 19) -> jnp.ndarray:
-        """(M, d) -> (M, n_sub) uint8 (ksub<=256). Chunked: the (M,
-        n_sub, ksub) score tensor would be ~0.5 TB for a 7M-row DB."""
+    def encode(self, data: jnp.ndarray, chunk: int = 1 << 15) -> jnp.ndarray:
+        """(M, d) -> (M, n_sub) uint8 (ksub<=256). Scanned in 32k-row
+        chunks inside one jit: the full (M, n_sub, ksub) score tensor
+        would be ~0.5 TB for a 7M-row DB."""
         m = data.shape[0]
-        if m > chunk:
-            parts = [self.encode(data[i:i + chunk]) for i in range(0, m, chunk)]
-            return jnp.concatenate(parts)
-        sub = data.reshape(m, self.n_sub, self.dsub)
-        # scores: (M, n_sub, ksub)
-        score = jnp.einsum("msd,skd->msk", sub, self.codebooks,
-                           preferred_element_type=jnp.float32)
-        score = score - 0.5 * jnp.sum(self.codebooks ** 2, axis=-1)[None]
-        return jnp.argmax(score, axis=-1).astype(jnp.uint8)
+        if m <= chunk:
+            return _pq_encode_chunk(data, self.codebooks, self.n_sub,
+                                    self.dsub)
+        nblk = -(-m // chunk)
+        pad = nblk * chunk - m
+        dp = jnp.pad(data, ((0, pad), (0, 0)))
+        blocks = dp.reshape(nblk, chunk, -1)
+        codes = jax.lax.map(
+            lambda b: _pq_encode_chunk(b, self.codebooks, self.n_sub,
+                                       self.dsub),
+            blocks,
+        )
+        return codes.reshape(nblk * chunk, self.n_sub)[:m]
 
     def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
-        """(M, n_sub) uint8 -> (M, d) reconstructions."""
+        """(M, n_sub) uint8 -> (M, d) reconstructions.
+
+        Gather layout matters on TPU: rows of width dsub(=2) pad to the
+        128-lane tile (64x memory blowup; a broadcasted take_along_axis
+        is even worse - it materializes the ksub axis). Gathering
+        (dsub, M) per subspace keeps M on the lane dimension."""
         m = codes.shape[0]
-        # gather codebooks[s, codes[m, s]] -> (M, n_sub, dsub)
-        rec = jnp.take_along_axis(
-            self.codebooks[None],                       # (1, S, ksub, dsub)
-            codes.astype(jnp.int32)[..., None, None],   # (M, S, 1, 1)
-            axis=2,
-        )[:, :, 0, :]
-        return rec.reshape(m, self.d)
+        rec = jax.vmap(
+            lambda cb_s, c_s: cb_s.T[:, c_s], in_axes=(0, 1), out_axes=0
+        )(self.codebooks, codes.astype(jnp.int32))          # (S, dsub, M)
+        return jnp.transpose(rec, (2, 0, 1)).reshape(m, self.d)
+
+    def decode_host(self, codes) -> "np.ndarray":
+        """Host (numpy) decode for bulk one-time reconstructions (the
+        decoded-bf16 scan cache): TPU gathers of dsub-wide rows pad to
+        the 128-lane tile (64x memory blowup at dsub=2), so bulk decode
+        is cheaper as 64 numpy fancy-index gathers."""
+        import numpy as onp
+
+        codes = onp.asarray(codes)
+        cb = onp.asarray(self.codebooks)                    # (S, ksub, dsub)
+        m = codes.shape[0]
+        out = onp.empty((m, self.d), onp.float32)
+        for s in range(self.n_sub):
+            out[:, s * self.dsub:(s + 1) * self.dsub] = cb[s][codes[:, s]]
+        return out
 
     def state(self):
         return {"codebooks": self.codebooks, "d": self.d,

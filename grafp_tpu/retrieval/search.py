@@ -152,6 +152,9 @@ def masked_scan_search(
     the index family (a Python block loop would pay one remote dispatch
     per op per block on this TPU transport)."""
     mp = rows_or_codes.shape[0]
+    assert mp % block == 0, (
+        f"rows ({mp}) must be pre-padded to a multiple of block ({block})"
+    )
     nblk = mp // block
     kk = min(k, block)
     q2 = jnp.sum(q * q, axis=1, keepdims=True)
@@ -165,24 +168,26 @@ def masked_scan_search(
         best_s, best_i = carry
         blk, blk_cells, base = inp
         if has_codes:
-            n_sub = blk.shape[-1]
-            rec = jnp.take_along_axis(
-                codebooks[None],
-                blk.astype(jnp.int32)[..., None, None],
-                axis=2,
-            )[:, :, 0, :]
-            rows = rec.reshape(block, -1)
+            # per-subspace (dsub, M)-layout gather - see pq.decode for
+            # why other gather layouts blow up on TPU tiling
+            rec = jax.vmap(
+                lambda cb_s, c_s: cb_s.T[:, c_s], in_axes=(0, 1), out_axes=0
+            )(codebooks, blk.astype(jnp.int32))             # (S, dsub, blk)
+            rows = jnp.transpose(rec, (2, 0, 1)).reshape(block, -1)
         else:
             rows = blk
+        rows = rows.astype(jnp.float32)  # rows may be a bf16 decode cache
         inner = jnp.matmul(q, rows.T, preferred_element_type=jnp.float32)
         dist = q2 - 2.0 * inner + jnp.sum(rows * rows, axis=1)[None, :]
         ids = base + jnp.arange(block)
         dist = jnp.where((ids >= m_valid)[None, :], jnp.inf, dist)
         if has_cells:
-            ok = jnp.take_along_axis(
-                member, jnp.clip(blk_cells, 0, member.shape[1] - 1)[None, :]
-                .repeat(q.shape[0], 0), axis=1,
-            )
+            # probe mask as a one-hot matmul (MXU) - a (Q, block) index
+            # gather measured ~100x slower at 7M rows
+            onehot = jax.nn.one_hot(blk_cells, member.shape[1],
+                                    dtype=jnp.float32)      # (block, nlist)
+            ok = jnp.matmul(member.astype(jnp.float32), onehot.T,
+                            preferred_element_type=jnp.float32) > 0.5
             dist = jnp.where(ok, dist, jnp.inf)
         nd, sel = jax.lax.top_k(-dist, kk)
         gids = ids[sel]
