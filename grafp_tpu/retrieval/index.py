@@ -18,12 +18,13 @@ Design notes (TPU-first, not a FAISS port):
   (Q, nlist) membership table gathered per block. Recall semantics are
   exactly FAISS-IVF's; arithmetic stays dense matmuls (on the MXU a
   masked dense scan beats pointer-chasing gathers at these DB scales;
-  the mask costs one small gather per block).
+  the mask itself is a one-hot matmul per block).
 
-* PQ search decompresses candidate blocks (one codebook gather) and
-  scores reconstructions with the same exact matmul - identical math to
-  asymmetric-distance ADC with the scattered LUT lookups traded for a
-  dense matmul (pq.py).
+* PQ storage is searched via a decoded-bf16 scan cache (decode once at
+  build, scan dense at 2 bytes/dim - identical math to asymmetric ADC
+  with the scattered lookups traded for dense matmuls; measured 112x
+  faster than per-block decode gathers at 7M rows). DBs too big even
+  for bf16 fall back to on-the-fly per-block decode (pq.py).
 
 * LSH encodes sign bits of random projections as +-1 int8; Hamming
   distance is (nbits - s_q . s_db)/2, i.e. an int8 matmul - MXU native.
