@@ -159,17 +159,30 @@ class PairBatcher:
         results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         lock = threading.Lock()
         next_emit = [0]
+        failed = threading.Event()
 
         def worker():
-            while True:
+            # A worker exception is a poison pill: push it straight onto
+            # out_q (bypassing the in-order buffer - the consumer aborts
+            # on sight) and stop all workers from pulling new batches.
+            # Pre-fix behavior was a silent thread death and a consumer
+            # deadlocked on out_q.get() forever.
+            while not failed.is_set():
                 try:
                     b, ids = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                xi = np.empty((self.bsz, self.ds.cfg.clip_frames), np.float32)
-                xj = np.empty_like(xi)
-                for row, i in enumerate(ids):
-                    xi[row], xj[row] = self.ds[int(i)]
+                try:
+                    xi = np.empty(
+                        (self.bsz, self.ds.cfg.clip_frames), np.float32
+                    )
+                    xj = np.empty_like(xi)
+                    for row, i in enumerate(ids):
+                        xi[row], xj[row] = self.ds[int(i)]
+                except BaseException as e:  # noqa: BLE001
+                    failed.set()
+                    out_q.put(e)
+                    return
                 with lock:
                     results[b] = (xi, xj)
                     while next_emit[0] in results:
@@ -183,7 +196,12 @@ class PairBatcher:
         for t in threads:
             t.start()
         for _ in range(n_batches):
-            yield out_q.get()
+            item = out_q.get()
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    "PairBatcher worker failed while building a batch"
+                ) from item
+            yield item
 
 
 class TrackLoader:

@@ -8,13 +8,18 @@ HBM-bandwidth bound (scripts/profile_components.py: FFN runs at ~3% MXU
 utilization), so removing 28 full-tensor normalization passes is a
 direct serving-throughput win.
 
-Usage:
+Usage (the model itself is unmodified - the folded tree neutralizes the
+BN layers in place, so tree structure and checkpoints stay compatible):
     folded = fold_batch_norms(params, batch_stats)
-    model = build_model(cfg, fold_bn=True)   # BN layers become identity
-    model.apply({'params': folded, 'batch_stats': batch_stats}, x, False)
+    neutral = neutral_batch_stats(batch_stats)
+    model.apply({'params': folded, 'batch_stats': neutral}, x, False)
 
-The folded tree keeps the BN params in place (identity values) so the
-tree structure - and checkpoint compatibility - is unchanged.
+Measured finding (v5e, scripts/profile_forward_variants.py): folding is
+numerically exact but a perf NO-OP for the jitted forward - XLA already
+fuses each inference BN into the preceding matmul's epilogue, so the 28
+normalization passes the fold removes never exist in the compiled
+program. Keep this module for export paths that serialize weights to
+runtimes without that fusion; do not expect TPU serving gains.
 """
 
 from __future__ import annotations

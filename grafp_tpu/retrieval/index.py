@@ -46,10 +46,11 @@ import numpy as np
 
 from grafp_tpu.retrieval.kmeans import kmeans
 from grafp_tpu.retrieval.pq import ProductQuantizer
+from grafp_tpu.retrieval.search import DB_BLOCK_ROWS
 
 _QBLOCK = 256            # query padding block
-_DB_BLOCK = 1 << 20      # rows per scored block; NB 256k f32 blocks hit a
-                         # pathological slow path on v5e (~100x) - keep >= 1M
+_DB_BLOCK = DB_BLOCK_ROWS  # rows per scored block; see search.DB_BLOCK_ROWS
+                           # for the v5e small-f32-block pathology note
 
 
 def _pad_queries(q: np.ndarray) -> Tuple[jnp.ndarray, int]:

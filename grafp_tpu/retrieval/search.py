@@ -29,6 +29,12 @@ from jax import shard_map
 
 from grafp_tpu.core.mesh import DB_AXIS
 
+# Rows per on-device scored block, shared by the index family and the
+# streaming scan. Empirical v5e constraint: 256k-row f32 blocks hit a
+# ~100x pathological slow path; keep blocks >= 1M rows (CLAUDE.md
+# shape-pathology (a)).
+DB_BLOCK_ROWS = 1 << 20
+
 
 def _sq_norms(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.square(x), axis=-1)
@@ -208,8 +214,8 @@ def exact_topk_streaming(
     q: np.ndarray,
     db,                      # np.memmap or ndarray, possibly >HBM
     k: int,
-    host_block: int = 1 << 21,
-    device_block: int = 1 << 18,
+    host_block: int = 1 << 22,
+    device_block: int = DB_BLOCK_ROWS,
     metric: str = "l2",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k over a larger-than-HBM database: stream host blocks
@@ -218,7 +224,9 @@ def exact_topk_streaming(
     For fingerprint workloads PQ compression usually makes the DB fit
     (31M x 64 B = 2 GB for fma_large) - use IndexIVFPQ then; this is the
     uncompressed-exact fallback. Each host block pays a host->device
-    transfer, so size host_block to amortize (1 GB blocks by default).
+    transfer, so size host_block to amortize (2 GB f32 blocks by
+    default); device_block stays >= DB_BLOCK_ROWS to dodge the v5e
+    small-f32-block pathology.
     """
     qj = jnp.asarray(np.asarray(q, np.float32))
     m = db.shape[0]

@@ -125,3 +125,19 @@ def test_memmap_writer_grows(tmp_path, rng):
     out, shape = load_memmap_data(str(tmp_path), "g", display=False)
     assert tuple(shape) == (30, 4)
     np.testing.assert_array_equal(np.asarray(out), data)
+
+
+def test_streaming_device_block_default_avoids_v5e_pathology():
+    """The >HBM streaming path must default to >= DB_BLOCK_ROWS device
+    blocks: 256k-row f32 blocks are ~100x slower on v5e (CLAUDE.md
+    shape-pathology (a)); round-1 shipped exactly that bad default."""
+    import inspect
+
+    from grafp_tpu.retrieval import index as index_mod
+    from grafp_tpu.retrieval.search import DB_BLOCK_ROWS, exact_topk_streaming
+
+    default = inspect.signature(exact_topk_streaming).parameters[
+        "device_block"
+    ].default
+    assert default >= DB_BLOCK_ROWS >= (1 << 20)
+    assert index_mod._DB_BLOCK == DB_BLOCK_ROWS
