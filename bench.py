@@ -2,26 +2,26 @@
 
 Measures the full production path raw-audio -> log-mel -> PeakEmbed ->
 GraphEncoder -> projector -> 128-d fingerprint on the default backend
-(the real TPU under the driver; CPU elsewhere), steady-state, batch 256,
-bfloat16 matmul inputs with f32 accumulation.
+(the real TPU under the driver; CPU elsewhere), steady-state, at BATCH
+below, bfloat16 matmul inputs with f32 accumulation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference (chymaera96/GraFP) publishes no throughput
-numbers and this environment has no CUDA GPU to measure it, so the
-baseline is a documented engineering estimate of the reference pipeline
-on a V100-class GPU: the 18.4M-param torch model at batch<=256 with 12
-dense kNN rebuilds per forward plus CPU-side dataloading sustains on the
-order of 2,000 fingerprints/s (fwd ~2.3 GFLOP/fingerprint at ~15% fp32
-utilization, input-bound per SURVEY.md §7). BASELINE.md's north star is
->=10x this estimate.
+vs_baseline: anchored to a MEASURED number (BASELINE.md "Measured
+reference-throughput anchor"): the reference torch model runs at
+5.39 fp/s on one host CPU core = 9.0% of the core's practical GEMM rate
+(scripts/measure_torch_baseline.py). Extrapolating that measured
+efficiency to a V100-class GPU's ~14 TFLOP/s sustained fp32 gives
+~545 fp/s; the 2,000 fp/s baseline below deliberately grants the
+reference 3.7x its measured efficiency, so vs_baseline is a floor.
+BASELINE.md's north star is >=10x this baseline.
 """
 
 import json
 import sys
 import time
 
-REF_FPS_ESTIMATE = 2000.0  # see module docstring
+REF_FPS_BASELINE = 2000.0  # measured-anchored, generous; see docstring
 BATCH = 64   # throughput peaks at small batch on v5e (see CLAUDE.md)
 ITERS = 32
 
@@ -95,7 +95,7 @@ def main():
         "metric": "fingerprints_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "fingerprints/s",
-        "vs_baseline": round(fps / REF_FPS_ESTIMATE, 3),
+        "vs_baseline": round(fps / REF_FPS_BASELINE, 3),
     }))
 
 
