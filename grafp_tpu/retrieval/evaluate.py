@@ -41,6 +41,41 @@ from grafp_tpu.retrieval.memmap_io import load_memmap_data
 
 TID_BLOCK = 64  # test ids scored per jitted call
 
+# Device-resident rescoring keeps the merged (dummy ++ db) fingerprints
+# in HBM - fine at fma_medium (1.6 GB) but a 31M x 128 f32 fma_large DB
+# is 16 GB, an OOM on a 16 GB v5e that also holds the search index. Past
+# this budget the rescorer switches to host-side candidate-window gathers
+# straight from the memmaps (the role of the reference's
+# fake_recon_index, eval.py:218-237).
+_DEF_RESCORE_BUDGET = 4 << 30  # bytes
+
+
+def _rescore_hbm_budget() -> int:
+    return int(os.environ.get("GRAFP_RESCORE_HBM_BUDGET",
+                              _DEF_RESCORE_BUDGET))
+
+
+class ConcatRows:
+    """Virtual row-wise concat of two (memmap-backed) 2-d arrays; gathers
+    rows without ever materializing the 16 GB merged DB in RAM."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+        self.shape = (a.shape[0] + b.shape[0], a.shape[1])
+        self.nbytes = self.shape[0] * self.shape[1] * 4
+
+    def gather(self, rows: np.ndarray) -> np.ndarray:
+        out = np.empty((len(rows), self.shape[1]), np.float32)
+        split = self.a.shape[0]
+        lo = rows < split
+        out[lo] = self.a[rows[lo]]
+        out[~lo] = self.b[rows[~lo] - split]
+        return out
+
+    def materialize(self) -> np.ndarray:
+        return np.concatenate([np.asarray(self.a), np.asarray(self.b)],
+                              axis=0)
+
 
 @functools.partial(jax.jit, static_argnames=("sl", "k10"))
 def _score_block(
@@ -78,6 +113,49 @@ def _score_block(
     return top_s, top_ids
 
 
+def _score_block_host(
+    recon,                    # ConcatRows or np.ndarray (memmap ok)
+    q: np.ndarray,            # (B, sl, d)
+    cand: np.ndarray,         # (B, C) candidate start ids
+    valid: np.ndarray,        # (B, C) bool
+    sl: int,
+    k10: int = 10,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host twin of _score_block: identical semantics (window truncation,
+    stable tie order, -999999 invalid fill), gathering candidate windows
+    from the memmaps instead of HBM. FLOP count is trivial (~0.1 GFLOP
+    per TID_BLOCK); the cost is the gather, which the OS page cache
+    serves after the first pass."""
+    m = recon.shape[0]
+    b, c = cand.shape
+    rows = cand[..., None] + np.arange(sl)[None, None, :]
+    in_range = rows < m
+    rows_c = np.clip(rows, 0, m - 1)
+    flat = rows_c.reshape(-1)
+    if hasattr(recon, "gather"):
+        win = recon.gather(flat)
+    else:
+        win = np.asarray(recon[flat], np.float32)
+    win = win.reshape(b, c, sl, -1)
+    sims = np.einsum("bcsd,bsd->bcs", win, q, optimize=True)
+    sims = np.where(in_range, sims, 0.0)
+    denom = np.maximum(in_range.sum(axis=-1), 1)
+    scores = sims.sum(axis=-1) / denom
+    scores = np.where(valid, scores, -np.inf)
+    kk = min(k10, c)
+    # argsort(-scores, stable) == lax.top_k tie order (lower index first)
+    sel = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+    top_s = np.take_along_axis(scores, sel, 1).astype(np.float32)
+    top_ids = np.take_along_axis(cand, sel, 1)
+    top_ids = np.where(np.isfinite(top_s), top_ids, -999999)
+    if kk < k10:
+        top_s = np.pad(top_s, ((0, 0), (0, k10 - kk)),
+                       constant_values=-np.inf)
+        top_ids = np.pad(top_ids, ((0, 0), (0, k10 - kk)),
+                         constant_values=-999999)
+    return top_s, top_ids
+
+
 def _unique_candidates(ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(B, C) int -> sorted ids with duplicate/negative entries masked."""
     s = np.sort(ids, axis=1)
@@ -96,12 +174,28 @@ def evaluate_sequences(
     test_seq_len: Sequence[int],
     k_probe: int = 20,
     verbose: bool = True,
+    rescore: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Core metric computation. Returns (top1_exact, top1_near,
-    top3_exact, top10_exact) each (n_test, n_sl) ints."""
+    top3_exact, top10_exact) each (n_test, n_sl) ints.
+
+    rescore: 'device' keeps the merged DB in HBM (fast path), 'host'
+    gathers candidate windows from host memory/memmaps (the >HBM path,
+    identical results), 'auto' picks by GRAFP_RESCORE_HBM_BUDGET.
+    """
     n_test = len(test_ids)
     max_sl = int(max(test_seq_len))
-    recon_dev = jnp.asarray(recon)
+    nbytes = getattr(recon, "nbytes",
+                     recon.shape[0] * recon.shape[1] * 4)
+    if rescore == "auto":
+        rescore = "device" if nbytes <= _rescore_hbm_budget() else "host"
+    if rescore == "device":
+        recon_dev = jnp.asarray(
+            recon.materialize() if isinstance(recon, ConcatRows) else recon
+        )
+    elif verbose:
+        print(f"[eval] rescoring on host ({nbytes/2**30:.1f} GB merged DB "
+              f"> HBM budget {_rescore_hbm_budget()/2**30:.1f} GB)")
 
     # one batched segment search for all rows of all test sequences
     rows = (test_ids[:, None] + np.arange(max_sl)[None, :]).reshape(-1)
@@ -133,13 +227,19 @@ def evaluate_sequences(
             qs = np.stack([
                 query[t:t + sl] for t in test_ids[b0:b1]
             ])                                            # (B, sl, d)
-            top_s, top_ids = _score_block(
-                recon_dev,
-                jnp.asarray(qs),
-                jnp.asarray(cand_s[b0:b1]),
-                jnp.asarray(valid[b0:b1]),
-                sl,
-            )
+            if rescore == "device":
+                _, top_ids = _score_block(
+                    recon_dev,
+                    jnp.asarray(qs),
+                    jnp.asarray(cand_s[b0:b1]),
+                    jnp.asarray(valid[b0:b1]),
+                    sl,
+                )
+            else:
+                _, top_ids = _score_block_host(
+                    recon, np.asarray(qs, np.float32),
+                    cand_s[b0:b1], valid[b0:b1], sl,
+                )
             pred = np.asarray(top_ids)                    # (B, 10)
             gt = gt_ids[b0:b1][:, None]
             top1_exact[b0:b1, si] = (pred[:, :1] == gt).ravel().astype(int)
@@ -202,11 +302,13 @@ def eval_faiss(
               f"{time.time()-t0:>4.2f} sec.")
 
     # Rescoring vectors: the reference reconstructs from a merged memmap
-    # (eval.py:218-237); here the merged (dummy ++ db) array lives on
-    # device. NOTE the reference rescores with the ORIGINAL db vectors
-    # (its fake_recon_index holds raw fingerprints, not PQ codes); we do
-    # the same.
-    recon = np.concatenate([np.asarray(dummy_db), np.asarray(db)], axis=0)
+    # (eval.py:218-237). NOTE the reference rescores with the ORIGINAL db
+    # vectors (its fake_recon_index holds raw fingerprints, not PQ
+    # codes); we do the same. The virtual concat never materializes the
+    # merged DB - evaluate_sequences moves it to HBM only when it fits
+    # (fma_medium), and window-gathers from the memmaps when it does not
+    # (fma_large, 16 GB).
+    recon = ConcatRows(dummy_db, db)
 
     tids = resolve_test_ids(test_ids, len(query), int(max(test_seq_len)))
     gt_ids = tids + int(dummy_db_shape[0])

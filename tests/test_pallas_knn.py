@@ -54,3 +54,30 @@ def test_grapher_with_pallas_strategy(rng):
     out_p = np.asarray(g_p.apply(v, x, False))
     out_o = np.asarray(g_o.apply(v, x, False))
     np.testing.assert_allclose(out_p, out_o, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gradient_multi_tile_accumulation(rng, monkeypatch):
+    """The backward kernel accumulates the (N, C) cotangent across query
+    tiles (grid j); shrink the tile cap so n=32 spans 4 tiles."""
+    import grafp_tpu.ops.pallas_knn as pk
+
+    monkeypatch.setattr(pk, "_MAX_TILE", 8)
+    x = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+
+    g1 = np.asarray(jax.grad(
+        lambda xx: jnp.sum(max_neighbors_pallas(xx, 3, True) * w))(x))
+    g2 = np.asarray(jax.grad(
+        lambda xx: jnp.sum(max_neighbors_onehot(xx, 3) * w))(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_gradient_bf16_cotangent(rng):
+    """Training runs the model in bf16: the VJP must accept bf16 x and
+    return a bf16 cotangent without dtype errors."""
+    x = jnp.asarray(rng.randn(1, 16, 8).astype(np.float32)).astype(jnp.bfloat16)
+    g = jax.grad(
+        lambda xx: jnp.sum(max_neighbors_pallas(xx, 3, True).astype(jnp.float32))
+    )(x)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
