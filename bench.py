@@ -7,6 +7,12 @@ below, bfloat16 matmul inputs with f32 accumulation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing methodology: the remote-TPU transport adds a fixed ~30-45 ms
+dispatch+fetch round trip per timed call, so per-batch time is measured
+as the DIFFERENCE between two scan lengths (utils/profiling.py:
+scan_time_per_iter) - fixed costs cancel exactly; the checksum carried
+through the scan both fences execution and defeats DCE/dedup/hoisting.
+
 vs_baseline: anchored to a MEASURED number (BASELINE.md "Measured
 reference-throughput anchor"): the reference torch model runs at
 5.39 fp/s on one host CPU core = 9.0% of the core's practical GEMM rate
@@ -19,21 +25,19 @@ BASELINE.md's north star is >=10x this baseline.
 
 import json
 import sys
-import time
 
 REF_FPS_BASELINE = 2000.0  # measured-anchored, generous; see docstring
-BATCH = 64   # throughput peaks at small batch on v5e (see CLAUDE.md)
-ITERS = 32
+BATCH = 64   # per-batch latency sweet spot on v5e (see CLAUDE.md)
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from grafp_tpu.core.config import Config
     from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
     from grafp_tpu.models import build_model
+    from grafp_tpu.utils.profiling import scan_time_per_iter
 
     backend = jax.default_backend()
     cfg = Config(compute_dtype="bfloat16" if backend == "tpu" else "float32")
@@ -47,48 +51,26 @@ def main():
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    def fingerprint(params, batch_stats, waves):
+    def fingerprint(waves):
         spec = log_mel_spectrogram(waves, mcfg)
         _, z = model.apply(
             {"params": params, "batch_stats": batch_stats}, spec, False
         )
         return z
 
-    iters = ITERS if backend == "tpu" else 2
-
-    # Device-resident benchmark loop: batches are synthesized on device
-    # from a folded key and each result feeds a checksum, so (a) nothing
-    # crosses the host<->device link inside the timed region and (b) no
-    # two dispatched programs are value-identical (the remote TPU path
-    # dedups identical executions).
-    @jax.jit
-    def run_iters(params, batch_stats, key):
-        def body(carry, i):
-            k = jax.random.fold_in(key, i)
-            waves = jax.random.normal(k, (BATCH, cfg.clip_frames), jnp.float32)
-            z = fingerprint(params, batch_stats, waves)
-            # checksum over EVERY output element: anything less lets XLA
-            # dead-code-eliminate the untouched batch rows
-            return carry + jnp.sum(z), None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
-        return total
-
-    # NOTE: timing syncs by FETCHING the scalar result - on the remote
-    # TPU transport block_until_ready returns before execution completes,
-    # so device_get of a value data-dependent on all work is the only
-    # trustworthy fence.
-    t0 = time.time()
-    float(run_iters(params, batch_stats, jax.random.key(0)))
-    compile_s = time.time() - t0
-    t0 = time.time()
-    float(run_iters(params, batch_stats, jax.random.key(1)))
-    dt = time.time() - t0
-    fps = BATCH * iters / dt
+    lo, hi = (16, 80) if backend == "tpu" else (1, 3)
+    waves = jax.random.normal(
+        jax.random.key(1), (BATCH, cfg.clip_frames), jnp.float32
+    )
+    r = scan_time_per_iter(fingerprint, waves, iters_lo=lo, iters_hi=hi)
+    fps = BATCH / r["per_iter_s"]
 
     print(
-        f"[bench] backend={backend} batch={BATCH} iters={iters} "
-        f"compile={compile_s:.1f}s steady={dt/iters*1e3:.2f}ms/batch",
+        f"[bench] backend={backend} batch={BATCH} iters={lo}/{hi} "
+        f"compile={r['compile_s']:.1f}s "
+        f"steady={r['per_iter_s']*1e3:.2f}ms/batch "
+        f"(fixed dispatch+fetch overhead excluded: "
+        f"{r['fixed_overhead_s']*1e3:.1f}ms)",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -61,15 +61,23 @@ def _kernel(k: int, rows_ref, xn_ref, x_ref, out_ref):
     rows = rows_ref[0]                                     # (T, C) query rows
     xn = xn_ref[0]                                         # (N, C) keys
     x = x_ref[0]                                           # (N, C) features
+    # The extraction matmul runs at the INPUT dtype with f32 accumulation:
+    # when x is bf16 this is bit-identical to an f32 matmul (0/1 masks and
+    # bf16 values are exact in bf16; the bf16->f32 cast is exact) but runs
+    # at the MXU's native bf16 rate instead of the 4-8x slower f32 path.
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    xmm = x.astype(mm_dtype)
     scores = jnp.dot(rows, xn.T, preferred_element_type=jnp.float32)
     rel = jnp.full((rows.shape[0], x.shape[1]), -jnp.inf, dtype=jnp.float32)
     consumed = jnp.zeros((rows.shape[0], 1), jnp.float32)  # columns taken
     for _ in range(k):
         rowmax = jnp.max(scores, axis=1, keepdims=True)
         mask = scores >= rowmax
-        maskf = mask.astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(maskf, axis=1, keepdims=True), 1.0)
-        feat = jnp.dot(maskf, x.astype(jnp.float32),
+        maskf = mask.astype(mm_dtype)
+        cnt = jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
+        )
+        feat = jnp.dot(maskf, xmm,
                        preferred_element_type=jnp.float32) / cnt
         # rows whose k-budget is already consumed by earlier tie groups
         # take no further neighbors (keeps top-k semantics under ties)
@@ -121,8 +129,13 @@ def _bwd_kernel(k: int, rows_ref, xn_ref, x_ref, g_ref, dx_ref):
 
     rows = rows_ref[0]                                     # (T, C)
     xn = xn_ref[0]                                         # (N, C)
-    x = x_ref[0].astype(jnp.float32)                       # (N, C)
+    x = x_ref[0]                                           # (N, C)
     g = g_ref[0].astype(jnp.float32)                       # (T, C)
+    # Replay matmuls MUST match the forward kernel's dtype bit-exactly
+    # (the winner test below compares replayed feats against the
+    # forward's running max), so mirror _kernel's mm_dtype choice.
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    xmm = x.astype(mm_dtype)
     scores = jnp.dot(rows, xn.T, preferred_element_type=jnp.float32)
 
     # pass 1: replay the forward rounds, keeping each round's feat/cnt
@@ -133,9 +146,11 @@ def _bwd_kernel(k: int, rows_ref, xn_ref, x_ref, g_ref, dx_ref):
     for _ in range(k):
         rowmax = jnp.max(s, axis=1, keepdims=True)
         mask = s >= rowmax
-        maskf = mask.astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(maskf, axis=1, keepdims=True), 1.0)
-        feat = jnp.dot(maskf, x, preferred_element_type=jnp.float32) / cnt
+        maskf = mask.astype(mm_dtype)
+        cnt = jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
+        )
+        feat = jnp.dot(maskf, xmm, preferred_element_type=jnp.float32) / cnt
         active = consumed < k
         rel = jnp.where(active, jnp.maximum(rel, feat), rel)
         consumed = consumed + cnt
@@ -152,10 +167,10 @@ def _bwd_kernel(k: int, rows_ref, xn_ref, x_ref, g_ref, dx_ref):
     for r in range(k):
         rowmax = jnp.max(s, axis=1, keepdims=True)
         mask = s >= rowmax
-        maskf = mask.astype(jnp.float32)
+        maskf = mask.astype(mm_dtype)
         win = actives[r] & (feats[r] == rel) & ~claimed
         claimed = claimed | win
-        gr = jnp.where(win, g, 0.0) / cnts[r]
+        gr = (jnp.where(win, g, 0.0) / cnts[r]).astype(mm_dtype)
         acc = acc + jnp.dot(maskf.T, gr,
                             preferred_element_type=jnp.float32)
         s = jnp.where(mask, -jnp.inf, s)

@@ -13,6 +13,7 @@ beyond wall-clock prints; this is a first-class subsystem here).
 from __future__ import annotations
 
 import contextlib
+import functools
 import time
 from typing import Any, Dict, Optional
 
@@ -65,6 +66,62 @@ class StepTimer:
             "p90_s": float(np.percentile(a, 90)),
             "last_s": float(a[-1]),
         }
+
+
+def scan_time_per_iter(
+    body,
+    x,
+    iters_lo: int = 8,
+    iters_hi: int = 40,
+    reps: int = 3,
+) -> Dict[str, float]:
+    """Steady-state per-iteration seconds of ``body(x) -> array``.
+
+    Times a jitted ``lax.scan`` of the body at TWO static lengths and
+    reports ``(t_hi - t_lo) / (iters_hi - iters_lo)``. The difference
+    cancels every fixed cost exactly - dispatch, the remote-transport
+    round trip of the result fetch, scalar-transfer latency - which on
+    the tunneled TPU is tens of milliseconds and otherwise pollutes
+    short measurements (measured: ~30-45 ms, enough to masquerade as
+    "batch anti-scaling" when divided by iters*batch).
+
+    The body is chained through the scan carry (out-checksum folded into
+    the next iteration's input at 1e-20 scale) so XLA can neither hoist
+    it as loop-invariant nor dedup identical dispatches. Each length is
+    timed `reps` times and the MINIMUM taken (transport noise is strictly
+    additive).
+    """
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(x, s0, iters):
+        def step(c, i):
+            out = body(jax.tree.map(lambda a: a * (1 + c * 1e-20), x))
+            # checksum over EVERY output element: anything less lets XLA
+            # dead-code-eliminate untouched rows
+            return jnp.sum(out).astype(jnp.float32) * 1e-20 + c, None
+
+        s, _ = jax.lax.scan(step, s0, jnp.arange(iters))
+        return s
+
+    s0 = jnp.float32(0)
+    times = {}
+    compile_s = 0.0
+    for iters in (iters_lo, iters_hi):
+        t0 = time.perf_counter()
+        float(run(x, s0, iters))                       # compile + first run
+        compile_s += time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(x, s0, iters))                   # fetch = the fence
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    per_iter = (times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo)
+    overhead = times[iters_lo] - per_iter * iters_lo
+    return {
+        "per_iter_s": per_iter,
+        "fixed_overhead_s": overhead,
+        "compile_s": compile_s,
+    }
 
 
 @contextlib.contextmanager

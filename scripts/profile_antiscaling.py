@@ -11,7 +11,6 @@ Run on the real TPU: python scripts/profile_antiscaling.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -19,36 +18,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = 10
 BATCHES = (64, 256)
 
 
 def timed(name, make_body, batch):
-    """make_body(B) -> (body, x) with body(x) -> array; scalar-chained."""
+    """make_body(B) -> (body, x) with body(x) -> array.
+
+    Uses scan_time_per_iter (difference of two scan lengths) so the
+    remote transport's fixed ~30-45 ms dispatch+fetch cost cancels -
+    dividing it by reps*batch is exactly what made every component look
+    like it cost ~50 us/item at B=64 in the round-1 measurements.
+    """
+    from grafp_tpu.utils.profiling import scan_time_per_iter
+
     body, x = make_body(batch)
-
-    @jax.jit
-    def run(x, s0):
-        def step(c, i):
-            out = body(x + c * 1e-20)
-            return jnp.sum(out).astype(jnp.float32) * 1e-20 + c, None
-
-        s, _ = jax.lax.scan(step, s0, jnp.arange(REPS))
-        return s
-
-    s0 = jnp.float32(0)
-    t0 = time.time()
-    float(run(x, s0))
-    compile_s = time.time() - t0
-    t0 = time.time()
-    float(run(x, s0))
-    per_item_us = (time.time() - t0) / REPS / batch * 1e6
-    return per_item_us, compile_s
+    r = scan_time_per_iter(body, x, iters_lo=8, iters_hi=40)
+    per_item_us = r["per_iter_s"] / batch * 1e6
+    return per_item_us, r["compile_s"]
 
 
 def main():
     rng = np.random.RandomState(0)
-    print(f"backend={jax.default_backend()} reps={REPS}", flush=True)
+    print(f"backend={jax.default_backend()} (overhead-cancelled timing)", flush=True)
 
     from grafp_tpu.core.config import Config
     from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
@@ -96,6 +87,12 @@ def main():
             return (lambda x: max_neighbors_pallas(x, 3)), x
 
         cases.append((f"pallas kNN N={n} C={c}", kern))
+
+        def kern_bf16(B, n=n, c=c):
+            x = jnp.asarray(rng.randn(B, n, c)).astype(jnp.bfloat16)
+            return (lambda x: max_neighbors_pallas(x, 3)), x
+
+        cases.append((f"pallas kNN N={n} C={c} bf16", kern_bf16))
 
         def grapher(B, n=n, c=c):
             x = jnp.asarray(rng.randn(B, n, c).astype(np.float32))

@@ -1,29 +1,56 @@
-"""Fingerprint throughput vs batch size (headline tuning)."""
-import os, sys, time
+"""Full-model throughput vs batch size, overhead-cancelled.
+
+Round-1 recorded strong "anti-scaling" (9.4k fp/s at B<=64 -> 5.6k at
+B=1024), but that measurement divided a fixed ~31 ms remote dispatch+
+fetch round trip by iters*batch, flattering small batches. This sweep
+uses scan_time_per_iter (difference of two scan lengths; fixed costs
+cancel exactly) to get the true per-item cost per batch size.
+
+Run on the real TPU: python scripts/profile_bench_batch.py
+"""
+
+import os
+import sys
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import jax, jax.numpy as jnp, numpy as np
-from grafp_tpu.core.config import Config
-from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
-from grafp_tpu.models import build_model
 
-cfg = Config(compute_dtype="bfloat16")
-model = build_model(cfg)
-mcfg = LogMelConfig.from_config(cfg)
-v = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 32)), False)
-params, bs = v["params"], v["batch_stats"]
+import jax
+import jax.numpy as jnp
 
-for B in (128, 256, 512, 1024):
-    iters = max(4, 2048 // B)
-    @jax.jit
-    def run(params, bs, key, B=B, iters=iters):
-        def body(c, i):
-            w = jax.random.normal(jax.random.fold_in(key, i), (B, 16000))
-            spec = log_mel_spectrogram(w, mcfg)
-            _, z = model.apply({"params": params, "batch_stats": bs}, spec, False)
-            return c + jnp.sum(z), None
-        t, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
-        return t
-    t0 = time.time(); float(run(params, bs, jax.random.key(0))); c = time.time() - t0
-    t0 = time.time(); float(run(params, bs, jax.random.key(1)))
-    dt = (time.time() - t0) / iters
-    print(f"B={B:5d}: {dt*1e3:7.2f} ms/batch  {B/dt:9,.0f} fp/s  (compile {c:.0f}s)", flush=True)
+BATCHES = (32, 64, 128, 256, 512)
+
+
+def main():
+    from grafp_tpu.core.config import Config
+    from grafp_tpu.dsp.melspec import LogMelConfig, log_mel_spectrogram
+    from grafp_tpu.models import build_model
+    from grafp_tpu.utils.profiling import scan_time_per_iter
+
+    cfg = Config(compute_dtype="bfloat16")
+    model = build_model(cfg)
+    mcfg = LogMelConfig.from_config(cfg)
+    v = model.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, cfg.n_mels, cfg.n_frames)), False)
+
+    def fingerprint(waves):
+        spec = log_mel_spectrogram(waves, mcfg)
+        _, z = model.apply(v, spec, False)
+        return z
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    print(f"{'B':>5s} {'ms/batch':>9s} {'us/item':>8s} {'fp/s':>8s} "
+          f"{'overhead_ms':>11s}", flush=True)
+    for b in BATCHES:
+        # keep the hi-scan total device time roughly constant (~0.5 s)
+        hi = max(8, min(80, int(0.5 / (b * 75e-6))))
+        lo = max(2, hi // 5)
+        waves = jax.random.normal(jax.random.key(1), (b, cfg.clip_frames),
+                                  jnp.float32)
+        r = scan_time_per_iter(fingerprint, waves, iters_lo=lo, iters_hi=hi)
+        dt = r["per_iter_s"]
+        print(f"{b:5d} {dt*1e3:9.2f} {dt/b*1e6:8.1f} {b/dt:8,.0f} "
+              f"{r['fixed_overhead_s']*1e3:11.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
