@@ -179,14 +179,14 @@ class Grapher(nn.Module):
                       dtype=self.dtype, name="gconv")
         strategy = self.knn_strategy
         if strategy == "auto":
-            # measured on v5e: the pallas kernel wins inference (no VJP),
-            # but its backward recomputes the onehot path, so plain
-            # onehot is faster end-to-end for training (275 vs 307 ms
-            # per B=256 step)
-            if train or jax.default_backend() != "tpu":
-                strategy = "onehot"
-            else:
+            # measured on v5e (scripts/profile_train_strategies.py): the
+            # kernel wins BOTH modes now that it has a real VMEM backward
+            # (train B=256: 305 ms pallas vs 326 ms onehot; round 1's
+            # onehot-recompute backward made pallas lose at 307 vs 275).
+            if jax.default_backend() == "tpu":
                 strategy = "pallas"
+            else:
+                strategy = "onehot"
         if self.conv == "mr":
             # fast path: MRConv only consumes the neighbor-feature max
             if self.dilation > 1 or strategy == "exact":

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCHES = (64, 256)
+BATCHES = (64, 256)  # override: argv ints, e.g. "64"
 
 
 def timed(name, make_body, batch):
@@ -38,6 +38,9 @@ def timed(name, make_body, batch):
 
 
 def main():
+    global BATCHES
+    if len(sys.argv) > 1:
+        BATCHES = tuple(int(a) for a in sys.argv[1:])
     rng = np.random.RandomState(0)
     print(f"backend={jax.default_backend()} (overhead-cancelled timing)", flush=True)
 
@@ -95,20 +98,21 @@ def main():
         cases.append((f"pallas kNN N={n} C={c} bf16", kern_bf16))
 
         def grapher(B, n=n, c=c):
-            x = jnp.asarray(rng.randn(B, n, c).astype(np.float32))
-            g = Grapher(features=c, k=3, knn_strategy="pallas")
+            x = jnp.asarray(rng.randn(B, n, c)).astype(jnp.bfloat16)
+            g = Grapher(features=c, k=3, knn_strategy="pallas",
+                        dtype=jnp.bfloat16)
             gv = g.init(jax.random.key(0), x, False)
             return (lambda x: g.apply(gv, x, False)), x
 
-        cases.append((f"Grapher N={n} C={c} (pallas)", grapher))
+        cases.append((f"Grapher N={n} C={c} (pallas bf16)", grapher))
 
         def ffn(B, n=n, c=c):
-            x = jnp.asarray(rng.randn(B, n, c).astype(np.float32))
-            f = FFN(features=c, hidden=4 * c)
+            x = jnp.asarray(rng.randn(B, n, c)).astype(jnp.bfloat16)
+            f = FFN(features=c, hidden=4 * c, dtype=jnp.bfloat16)
             fv = f.init(jax.random.key(0), x, False)
             return (lambda x: f.apply(fv, x, False)), x
 
-        cases.append((f"FFN N={n} C={c}", ffn))
+        cases.append((f"FFN N={n} C={c} bf16", ffn))
 
     header = f"{'component':34s}" + "".join(
         f"  B={b:<4d} us/it" for b in BATCHES
