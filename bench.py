@@ -27,7 +27,8 @@ import json
 import sys
 
 REF_FPS_BASELINE = 2000.0  # measured-anchored, generous; see docstring
-BATCH = 64   # per-batch latency sweet spot on v5e (see CLAUDE.md)
+BATCH = 128  # throughput sweet spot on v5e (flat 68-72 us/item for
+             # B in [32, 512] since the fused MRConv frontend; B=128 peaks)
 
 
 def main():
@@ -58,7 +59,7 @@ def main():
         )
         return z
 
-    lo, hi = (16, 80) if backend == "tpu" else (1, 3)
+    lo, hi = (8, 48) if backend == "tpu" else (1, 3)
     waves = jax.random.normal(
         jax.random.key(1), (BATCH, cfg.clip_frames), jnp.float32
     )

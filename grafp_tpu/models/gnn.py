@@ -65,18 +65,30 @@ class MRConv(nn.Module):
     out_features: int
     act: str = "relu"
     groups: int = 4
+    # 'pair': x, rel given separately, interleave then grouped conv.
+    # 'concat': x IS the fused kernel's (B, N, 2C) [x || rel - x] output;
+    # the interleave lives in the conv's weight permutation. Both
+    # layouts share identical parameters (checkpoint-compatible).
+    input_layout: str = "pair"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, rel, train: bool):
-        # x, rel: (B, N, C); rel = max_k(x_nbr) - x
-        b, n, c = x.shape
-        # interleave channels: [x_0, rel_0, x_1, rel_1, ...]
-        y = jnp.stack([x, rel], axis=-1).reshape(b, n, 2 * c)
-        y = GroupedPointwiseConv(
-            self.out_features, groups=self.groups, dtype=self.dtype
-        )(y)
+        if self.input_layout == "concat":
+            y = x                                          # (B, N, 2C)
+            y = GroupedPointwiseConv(
+                self.out_features, groups=self.groups, dtype=self.dtype,
+                concat_interleaved=True,
+            )(y)
+        else:
+            # x, rel: (B, N, C); rel = max_k(x_nbr) - x
+            b, n, c = x.shape
+            # interleave channels: [x_0, rel_0, x_1, rel_1, ...]
+            y = jnp.stack([x, rel], axis=-1).reshape(b, n, 2 * c)
+            y = GroupedPointwiseConv(
+                self.out_features, groups=self.groups, dtype=self.dtype
+            )(y)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         return act_layer(self.act)(y)
 
@@ -194,12 +206,25 @@ class Grapher(nn.Module):
                                 block_rows=self.knn_block_rows)
                 idx = dilate_neighbors(idx, self.dilation)
                 rel = jnp.max(gather_neighbors(x, idx), axis=2) - x
+                x = MRConv(self.features * 2, **common)(x, rel, train)
+            elif strategy == "pallas":
+                # fully-fused frontend: normalize + kNN select + max +
+                # subtract + concat in ONE kernel (the pallas boundary
+                # otherwise forces ~1.6 MB/item of HBM traffic per block
+                # for the XLA-side normalize/sub/interleave passes)
+                from grafp_tpu.ops.pallas_knn import mrconv_concat_pallas
+
+                y = mrconv_concat_pallas(
+                    x, self.k, jax.default_backend() != "tpu"
+                )
+                x = MRConv(self.features * 2, input_layout="concat",
+                           **common)(y, None, train)
             else:
                 rel = max_relative_neighbors(
                     x, self.k, strategy=strategy,
                     compute_dtype=self.dtype or jnp.float32,
                 ) - x
-            x = MRConv(self.features * 2, **common)(x, rel, train)
+                x = MRConv(self.features * 2, **common)(x, rel, train)
         else:
             # index-consuming variants (torch_vertex.py:92-107 dispatcher)
             idx = knn_graph(x, self.k * self.dilation,

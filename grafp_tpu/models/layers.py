@@ -100,6 +100,13 @@ class GroupedPointwiseConv(nn.Module):
     features: int
     groups: int = 4
     use_bias: bool = True
+    # Input is [a || b] channel-CONCAT but the (checkpoint-compatible)
+    # grouped params are defined over the INTERLEAVED [a0, b0, a1, ...]
+    # layout: apply as ONE dense matmul whose weight rows are permuted
+    # and zero-padded off the group blocks (grouped convs at these tiny
+    # per-group widths underfill the MXU, and this also deletes the
+    # (B, N, 2C) interleave pass the pair layout needs).
+    concat_interleaved: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -116,16 +123,42 @@ class GroupedPointwiseConv(nn.Module):
             jnp.float32,
         )
         dt = self.dtype or x.dtype
-        xg = x.reshape(*x.shape[:-1], g, cig)
-        y = jnp.einsum(
-            "...gi,gio->...go", xg.astype(dt), w.astype(dt),
-            preferred_element_type=jnp.float32,
-        )
-        y = y.reshape(*x.shape[:-1], self.features)
+        if self.concat_interleaved:
+            dense = grouped_as_concat_dense(w, c_in, self.features)
+            y = jnp.einsum(
+                "...i,io->...o", x.astype(dt), dense.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            xg = x.reshape(*x.shape[:-1], g, cig)
+            y = jnp.einsum(
+                "...gi,gio->...go", xg.astype(dt), w.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            y = y.reshape(*x.shape[:-1], self.features)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
         return y
+
+
+def grouped_as_concat_dense(w, c_in: int, c_out: int):
+    """(g, cig, cog) grouped weights over an INTERLEAVED input layout ->
+    dense (c_in, c_out) weight for the equivalent CONCAT-layout matmul.
+
+    Row p of the dense weight is row interleave(p) of the block-diagonal
+    expansion, where interleave maps concat position p (first half = the
+    'a' tensor, second half = 'b') to interleaved channel 2p / 2p'+1.
+    Zero entries off the blocks contribute exactly 0 for finite inputs."""
+    import numpy as np
+
+    g, cig, cog = w.shape
+    bd = jnp.zeros((g, cig, g, cog), w.dtype)
+    bd = bd.at[jnp.arange(g), :, jnp.arange(g), :].set(w)
+    bd = bd.reshape(c_in, c_out)                 # rows: interleaved order
+    half = c_in // 2
+    perm = np.concatenate([2 * np.arange(half), 2 * np.arange(half) + 1])
+    return bd[perm]
 
 
 class DropPath(nn.Module):

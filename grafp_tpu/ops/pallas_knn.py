@@ -44,48 +44,102 @@ import jax.numpy as jnp
 
 from grafp_tpu.ops.knn import l2_normalize
 
-# query-row tile cap: bounds scores/mask VMEM at ~2*t*n*4 bytes. t=512
-# halves the key re-reads vs t=256 and measured ~1.5x faster at the
-# N=512 stage (t=1024 at N=1024 OOMs the 16 MB scoped VMEM).
-_MAX_TILE = 512
+# query-row tile cap: bounds scores/mask VMEM at ~t*n*(4+2k) bytes.
+# bf16 inputs afford t=1024 at N=1024 (scores 4 MB f32 + k bf16 masks
+# 6 MB < 16 MB scoped VMEM), which halves per-program overhead and key
+# re-reads vs t=512; f32 masks need t<=512.
+_MAX_TILE_BF16 = 1024
+_MAX_TILE_F32 = 512
+
+# Per-program fixed cost (~1-2 us: grid step, DMA setup) dominates when
+# N is small - at N=256 the per-item kernel work is ~0.7 us of MXU time
+# but measured 3.4 us with one item per program. Pack items so each
+# program sees ~_PACK_ROWS query rows, bounded by a VMEM estimate.
+_PACK_ROWS = 1024
+_VMEM_ITEM_BUDGET = 10 * (1 << 20)
 
 
-def _tile_rows(n: int) -> int:
-    t = min(n, _MAX_TILE)
+def _tile_rows(n: int, dtype) -> int:
+    cap = _MAX_TILE_BF16 if dtype == jnp.bfloat16 else _MAX_TILE_F32
+    t = min(n, cap)
     while n % t:
         t //= 2
     return t
 
 
-def _kernel(k: int, rows_ref, xn_ref, x_ref, out_ref):
-    rows = rows_ref[0]                                     # (T, C) query rows
-    xn = xn_ref[0]                                         # (N, C) keys
-    x = x_ref[0]                                           # (N, C) features
+def _items_per_block(b: int, n: int, c: int, k: int, dtype,
+                     backward: bool) -> int:
+    """Items packed per kernel program: ~_PACK_ROWS rows per program,
+    capped so the per-item VMEM working set fits the scoped budget.
+    Packing only applies when one program covers a full item (t == n)."""
+    ms = 2 if dtype == jnp.bfloat16 else 4
+    # scores f32 + k masks + (feats stack, rel/acc, in/out blocks) rows
+    per = 4 * n * n + k * ms * n * n + (4 * k + 8) * n * c * 4
+    if backward:
+        per += (2 * k + 2) * n * c * 4
+    bb = max(1, min(_PACK_ROWS // n, _VMEM_ITEM_BUDGET // per))
+    while b % bb:
+        bb -= 1
+    return max(bb, 1)
+
+
+def _select_rounds(scores, k: int, mm_dtype):
+    """k selection rounds on an immutable score matrix.
+
+    Round r's tie-group is {s : s >= rowmax_r and s < rowmax_{r-1}} -
+    thresholding against the previous round's max is equivalent to the
+    classic "set taken entries to -inf and re-max" formulation (the max
+    strictly decreases each round) but never rewrites the score matrix,
+    and it leaves extraction to the caller so all k rounds can share ONE
+    MXU matmul. Returns (masks in mm_dtype, f32 tie counts).
+    """
+    t = scores.shape[0]
+    thresh = jnp.full((t, 1), jnp.inf, jnp.float32)
+    masks, cnts = [], []
+    for _ in range(k):
+        live = scores < thresh
+        rowmax = jnp.max(jnp.where(live, scores, -jnp.inf),
+                         axis=1, keepdims=True)
+        mask = live & (scores >= rowmax)
+        masks.append(mask.astype(mm_dtype))
+        cnts.append(jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
+        ))
+        thresh = rowmax
+    return masks, cnts
+
+
+def _one_forward(k: int, rows, xn, x):
     # The extraction matmul runs at the INPUT dtype with f32 accumulation:
     # when x is bf16 this is bit-identical to an f32 matmul (0/1 masks and
     # bf16 values are exact in bf16; the bf16->f32 cast is exact) but runs
     # at the MXU's native bf16 rate instead of the 4-8x slower f32 path.
     mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     xmm = x.astype(mm_dtype)
+    t, c = rows.shape[0], x.shape[1]
     scores = jnp.dot(rows, xn.T, preferred_element_type=jnp.float32)
-    rel = jnp.full((rows.shape[0], x.shape[1]), -jnp.inf, dtype=jnp.float32)
-    consumed = jnp.zeros((rows.shape[0], 1), jnp.float32)  # columns taken
-    for _ in range(k):
-        rowmax = jnp.max(scores, axis=1, keepdims=True)
-        mask = scores >= rowmax
-        maskf = mask.astype(mm_dtype)
-        cnt = jnp.maximum(
-            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
-        )
-        feat = jnp.dot(maskf, xmm,
-                       preferred_element_type=jnp.float32) / cnt
+    masks, cnts = _select_rounds(scores, k, mm_dtype)
+    # ONE extraction matmul for all k rounds: (k*T, N) @ (N, C); row
+    # blocks are independent, so each feat is bit-identical to its own
+    # (T, N) @ (N, C) matmul
+    feats = jnp.dot(jnp.concatenate(masks, axis=0), xmm,
+                    preferred_element_type=jnp.float32)    # (k*T, C)
+    rel = jnp.full((t, c), -jnp.inf, dtype=jnp.float32)
+    consumed = jnp.zeros((t, 1), jnp.float32)              # columns taken
+    for r in range(k):
+        feat = feats[r * t:(r + 1) * t] / cnts[r]
         # rows whose k-budget is already consumed by earlier tie groups
         # take no further neighbors (keeps top-k semantics under ties)
         active = consumed < k
         rel = jnp.where(active, jnp.maximum(rel, feat), rel)
-        consumed = consumed + cnt
-        scores = jnp.where(mask, -jnp.inf, scores)
-    out_ref[0] = rel.astype(out_ref.dtype)
+        consumed = consumed + cnts[r]
+    return rel
+
+
+def _kernel(k: int, bb: int, rows_ref, xn_ref, x_ref, out_ref):
+    for ii in range(bb):                                   # static unroll
+        rel = _one_forward(k, rows_ref[ii], xn_ref[ii], x_ref[ii])
+        out_ref[ii] = rel.astype(out_ref.dtype)
 
 
 def _pallas_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
@@ -93,30 +147,31 @@ def _pallas_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = x.shape
-    t = _tile_rows(n)
+    t = _tile_rows(n, x.dtype)
+    bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, False)
     xs = jax.lax.stop_gradient(x)
     xn = l2_normalize(xs, axis=-1)
-    kern = functools.partial(_kernel, k)
+    kern = functools.partial(_kernel, k, bb)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
-        grid=(b, n // t),
+        grid=(b // bb, n // t),
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bb, t, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((bb, t, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xn, xn, xs)
 
 
-def _bwd_kernel(k: int, rows_ref, xn_ref, x_ref, g_ref, dx_ref):
-    """Cotangent of _kernel w.r.t. the feature input x.
+def _one_backward(k: int, rows, xn, x, g):
+    """Cotangent of _one_forward w.r.t. the feature input x.
 
     Forward (per round r): feat_r = mask_r @ x / cnt_r;
     rel = where(active_r, max(rel, feat_r), rel). The winning round
@@ -125,64 +180,63 @@ def _bwd_kernel(k: int, rows_ref, xn_ref, x_ref, g_ref, dx_ref):
     gradient equally (the true gradient of the mean); winner equality
     uses the EXACT stored forward feat values, so it is bit-safe.
     """
-    import jax.experimental.pallas as pl
-
-    rows = rows_ref[0]                                     # (T, C)
-    xn = xn_ref[0]                                         # (N, C)
-    x = x_ref[0]                                           # (N, C)
-    g = g_ref[0].astype(jnp.float32)                       # (T, C)
+    g = g.astype(jnp.float32)                              # (T, C)
     # Replay matmuls MUST match the forward kernel's dtype bit-exactly
     # (the winner test below compares replayed feats against the
-    # forward's running max), so mirror _kernel's mm_dtype choice.
+    # forward's running max), so mirror _one_forward's mm_dtype choice.
     mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     xmm = x.astype(mm_dtype)
+    t = rows.shape[0]
     scores = jnp.dot(rows, xn.T, preferred_element_type=jnp.float32)
 
-    # pass 1: replay the forward rounds, keeping each round's feat/cnt
-    rel = jnp.full((rows.shape[0], x.shape[1]), -jnp.inf, jnp.float32)
-    consumed = jnp.zeros((rows.shape[0], 1), jnp.float32)
-    s = scores
-    feats, cnts, actives = [], [], []
-    for _ in range(k):
-        rowmax = jnp.max(s, axis=1, keepdims=True)
-        mask = s >= rowmax
-        maskf = mask.astype(mm_dtype)
-        cnt = jnp.maximum(
-            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
-        )
-        feat = jnp.dot(maskf, xmm, preferred_element_type=jnp.float32) / cnt
+    # pass 1: replay the forward (same shared extraction matmul as
+    # _one_forward, so feat values match bit-for-bit), keeping masks/cnts
+    masks, cnts = _select_rounds(scores, k, mm_dtype)
+    mstack = jnp.concatenate(masks, axis=0)                # (k*T, N)
+    fstack = jnp.dot(mstack, xmm,
+                     preferred_element_type=jnp.float32)   # (k*T, C)
+    rel = jnp.full((t, x.shape[1]), -jnp.inf, jnp.float32)
+    consumed = jnp.zeros((t, 1), jnp.float32)
+    feats, actives = [], []
+    for r in range(k):
+        feat = fstack[r * t:(r + 1) * t] / cnts[r]
         active = consumed < k
         rel = jnp.where(active, jnp.maximum(rel, feat), rel)
-        consumed = consumed + cnt
+        consumed = consumed + cnts[r]
         feats.append(feat)
-        cnts.append(cnt)
         actives.append(active)
-        s = jnp.where(mask, -jnp.inf, s)
 
-    # pass 2: rebuild each round's mask (scores replay, no extra matmul)
-    # and scatter the winner's gradient through mask^T
+    # pass 2: pick each (node, channel)'s winning round against the
+    # forward's running max and scatter all rounds' gradients through
+    # ONE transposed matmul: dx = sum_r mask_r^T @ g_r = mstack^T @ gstack
     claimed = jnp.zeros_like(rel, dtype=jnp.bool_)
-    acc = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
-    s = scores
+    grs = []
     for r in range(k):
-        rowmax = jnp.max(s, axis=1, keepdims=True)
-        mask = s >= rowmax
-        maskf = mask.astype(mm_dtype)
         win = actives[r] & (feats[r] == rel) & ~claimed
         claimed = claimed | win
-        gr = (jnp.where(win, g, 0.0) / cnts[r]).astype(mm_dtype)
-        acc = acc + jnp.dot(maskf.T, gr,
-                            preferred_element_type=jnp.float32)
-        s = jnp.where(mask, -jnp.inf, s)
+        grs.append((jnp.where(win, g, 0.0) / cnts[r]).astype(mm_dtype))
+    return jax.lax.dot_general(
+        mstack, jnp.concatenate(grs, axis=0),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # (N, C)
 
-    # query tiles j revisit the same (N, C) output block: init then add
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        dx_ref[0] = acc.astype(dx_ref.dtype)
 
-    @pl.when(pl.program_id(1) != 0)
-    def _accum():
-        dx_ref[0] = dx_ref[0] + acc.astype(dx_ref.dtype)
+def _bwd_kernel(k: int, bb: int, rows_ref, xn_ref, x_ref, g_ref, dx_ref):
+    import jax.experimental.pallas as pl
+
+    for ii in range(bb):                                   # static unroll
+        acc = _one_backward(k, rows_ref[ii], xn_ref[ii], x_ref[ii],
+                            g_ref[ii])
+
+        # query tiles j revisit the same (N, C) output block: init + add
+        @pl.when(pl.program_id(1) == 0)
+        def _init(ii=ii, acc=acc):
+            dx_ref[ii] = acc.astype(dx_ref.dtype)
+
+        @pl.when(pl.program_id(1) != 0)
+        def _accum(ii=ii, acc=acc):
+            dx_ref[ii] = dx_ref[ii] + acc.astype(dx_ref.dtype)
 
 
 def _pallas_backward(x: jnp.ndarray, g: jnp.ndarray, k: int,
@@ -191,25 +245,26 @@ def _pallas_backward(x: jnp.ndarray, g: jnp.ndarray, k: int,
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = x.shape
-    t = _tile_rows(n)
+    t = _tile_rows(n, x.dtype)
+    bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, True)
     xs = jax.lax.stop_gradient(x)
     xn = l2_normalize(xs, axis=-1)
-    kern = functools.partial(_bwd_kernel, k)
+    kern = functools.partial(_bwd_kernel, k, bb)
     dx = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-        grid=(b, n // t),
+        grid=(b // bb, n // t),
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bb, t, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bb, t, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xn, xn, xs, g)
@@ -232,3 +287,147 @@ def _bwd(k, interpret, x, g):
 
 
 max_neighbors_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused MRConv frontend: x -> [x || max_k(x_nbr) - x] (concat layout)
+# ---------------------------------------------------------------------------
+#
+# The pallas call is a fusion barrier for XLA, so the standalone kernel
+# forces HBM materialization of l2_normalize(x), three kernel input
+# reads, rel, rel - x, and the channel interleave - ~1.6 MB/item of
+# boundary traffic per Grapher block (x12 blocks). This variant takes
+# RAW x as its only input, normalizes keys in VMEM, and emits the
+# concatenated [x || rel - x] tensor the MRConv conv consumes directly
+# (the interleave lives in the conv's weight permutation - see
+# models/layers.py:grouped_as_concat_dense). Keys are normalized in f32
+# (more accurate than the XLA bf16 l2_normalize of the standalone path).
+
+
+def _norm_rows_f32(x):
+    x32 = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    return x32 / jnp.maximum(n, 1e-12)
+
+
+def _concat_kernel(k: int, bb: int, t: int, x_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    for ii in range(bb):                                   # static unroll
+        x = x_ref[ii]                                      # (N, C) raw
+        mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        xn = _norm_rows_f32(x).astype(mm_dtype)
+        n = x.shape[0]
+        rows = xn if t == n else jax.lax.dynamic_slice_in_dim(xn, j * t, t, 0)
+        rel = _one_forward(k, rows, xn, x)                 # (T, C) f32
+        xt = x if t == n else jax.lax.dynamic_slice_in_dim(x, j * t, t, 0)
+        # rel - x in the INPUT dtype, matching the unfused path's
+        # `max_relative_neighbors(...).astype(x.dtype) - x`
+        diff = rel.astype(x.dtype) - xt
+        out_ref[ii] = jnp.concatenate(
+            [xt, diff], axis=-1
+        ).astype(out_ref.dtype)
+
+
+def _concat_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    t = _tile_rows(n, x.dtype)
+    bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, False)
+    kern = functools.partial(_concat_kernel, k, bb, t)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, 2 * c), x.dtype),
+        grid=(b // bb, n // t),
+        in_specs=[
+            pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, t, 2 * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+
+
+def _concat_bwd_kernel(k: int, bb: int, t: int, x_ref, g_ref, dx_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    for ii in range(bb):                                   # static unroll
+        x = x_ref[ii]                                      # (N, C)
+        g = g_ref[ii]                                      # (T, 2C)
+        c = x.shape[1]
+        n = x.shape[0]
+        mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        xn = _norm_rows_f32(x).astype(mm_dtype)
+        rows = xn if t == n else jax.lax.dynamic_slice_in_dim(xn, j * t, t, 0)
+        g_x = g[:, :c].astype(jnp.float32)
+        g_rel = g[:, c:].astype(jnp.float32)
+        # y = [x || rel(x) - x]  =>  dx = g_x - g_rel + scatter^T(g_rel)
+        acc = _one_backward(k, rows, xn, x, g_rel)         # (N, C) f32
+
+        @pl.when(j == 0)
+        def _init(ii=ii, acc=acc):
+            dx_ref[ii] = acc.astype(dx_ref.dtype)
+
+        @pl.when(j != 0)
+        def _accum(ii=ii, acc=acc):
+            dx_ref[ii] = dx_ref[ii] + acc.astype(dx_ref.dtype)
+
+        direct = (g_x - g_rel).astype(dx_ref.dtype)
+        if t == n:
+            dx_ref[ii] = dx_ref[ii] + direct
+        else:
+            dx_ref[ii, pl.ds(j * t, t), :] = (
+                dx_ref[ii, pl.ds(j * t, t), :] + direct
+            )
+
+
+def _concat_backward(x: jnp.ndarray, g: jnp.ndarray, k: int,
+                     interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    t = _tile_rows(n, x.dtype)
+    bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, True)
+    kern = functools.partial(_concat_bwd_kernel, k, bb, t)
+    dx = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        grid=(b // bb, n // t),
+        in_specs=[
+            pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t, 2 * c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jax.lax.stop_gradient(x), g)
+    return dx.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def mrconv_concat_pallas(x: jnp.ndarray, k: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused MRConv frontend: (B, N, C) -> (B, N, 2C) = [x || rel - x],
+    where rel = max over the k most-similar nodes' features. Concat
+    (not interleaved) channel layout; consume with a conv whose weights
+    absorb the interleave permutation (layers.grouped_as_concat_dense)."""
+    return _concat_forward(x, k, interpret)
+
+
+def _concat_fwd(x, k, interpret):
+    return _concat_forward(x, k, interpret), x
+
+
+def _concat_bwd(k, interpret, x, g):
+    return (_concat_backward(x, g, k, interpret),)
+
+
+mrconv_concat_pallas.defvjp(_concat_fwd, _concat_bwd)

@@ -61,7 +61,8 @@ def test_pallas_gradient_multi_tile_accumulation(rng, monkeypatch):
     tiles (grid j); shrink the tile cap so n=32 spans 4 tiles."""
     import grafp_tpu.ops.pallas_knn as pk
 
-    monkeypatch.setattr(pk, "_MAX_TILE", 8)
+    monkeypatch.setattr(pk, "_MAX_TILE_F32", 8)
+    monkeypatch.setattr(pk, "_MAX_TILE_BF16", 8)
     x = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
     w = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
 
@@ -81,3 +82,76 @@ def test_pallas_gradient_bf16_cotangent(rng):
     )(x)
     assert g.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_mrconv_concat_matches_separate_paths(rng):
+    """The fused [x || rel - x] kernel must equal the standalone kernel's
+    rel minus x, concat layout, for f32 (bit-exact selection) inputs."""
+    from grafp_tpu.ops.pallas_knn import mrconv_concat_pallas
+
+    for (b, n, c, k) in ((2, 32, 8, 3), (3, 16, 4, 2)):
+        x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        y = np.asarray(mrconv_concat_pallas(x, k, True))
+        rel = np.asarray(max_neighbors_pallas(x, k, True))
+        np.testing.assert_allclose(y[..., :c], np.asarray(x), rtol=0, atol=0)
+        np.testing.assert_allclose(y[..., c:], rel - np.asarray(x),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_mrconv_concat_gradient_matches_onehot(rng):
+    """d/dx of sum(w * [x || rel-x]) via the fused kernel's VJP must match
+    the XLA onehot formulation of the same function."""
+    from grafp_tpu.ops.pallas_knn import mrconv_concat_pallas
+
+    b, n, c, k = 2, 24, 8, 3
+    x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, n, 2 * c).astype(np.float32))
+
+    def via_kernel(xx):
+        return jnp.sum(mrconv_concat_pallas(xx, k, True) * w)
+
+    def via_onehot(xx):
+        rel = max_neighbors_onehot(xx, k)
+        return jnp.sum(jnp.concatenate([xx, rel - xx], axis=-1) * w)
+
+    g1 = np.asarray(jax.grad(via_kernel)(x))
+    g2 = np.asarray(jax.grad(via_onehot)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_mrconv_concat_multi_tile(rng, monkeypatch):
+    """Row-tiled path (t < n): outputs per tile and the backward's
+    direct-term scatter into the revisited output block."""
+    import grafp_tpu.ops.pallas_knn as pk
+
+    monkeypatch.setattr(pk, "_MAX_TILE_F32", 8)
+    monkeypatch.setattr(pk, "_MAX_TILE_BF16", 8)
+    x = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(2, 32, 16).astype(np.float32))
+    y = np.asarray(pk.mrconv_concat_pallas(x, 3, True))
+    rel = np.asarray(max_neighbors_pallas(x, 3, True))
+    np.testing.assert_allclose(y[..., 8:], rel - np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+    g1 = np.asarray(jax.grad(
+        lambda xx: jnp.sum(pk.mrconv_concat_pallas(xx, 3, True) * w))(x))
+    g2 = np.asarray(jax.grad(lambda xx: jnp.sum(jnp.concatenate(
+        [xx, max_neighbors_onehot(xx, 3) - xx], -1) * w))(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_as_concat_dense_equivalence(rng):
+    """Dense permuted-block-diag weight on concat input == grouped conv
+    on interleaved input (exact: same dot order per group block row)."""
+    from grafp_tpu.models.layers import GroupedPointwiseConv
+
+    a = jnp.asarray(rng.randn(2, 10, 16).astype(np.float32))
+    b_ = jnp.asarray(rng.randn(2, 10, 16).astype(np.float32))
+    inter = jnp.stack([a, b_], axis=-1).reshape(2, 10, 32)
+    concat = jnp.concatenate([a, b_], axis=-1)
+
+    gc = GroupedPointwiseConv(32)
+    v = gc.init(jax.random.key(0), inter)
+    y_ref = np.asarray(gc.apply(v, inter))
+    gc2 = GroupedPointwiseConv(32, concat_interleaved=True)
+    y_new = np.asarray(gc2.apply(v, concat))
+    np.testing.assert_allclose(y_new, y_ref, rtol=1e-5, atol=1e-6)
