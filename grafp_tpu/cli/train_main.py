@@ -48,8 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
 def validate(epoch, query_loader, dummy_loader, banks, pipeline,
              output_root_dir, every: int = 10):
     """Reference train.py:84-95: periodic mini retrieval eval with an
-    exact index (every 10 epochs; the baseline drivers use 25,
-    reference baselines/train.py:87)."""
+    exact index. The `epoch == 1 or epoch % every == 0` gate reproduces
+    the reference's own `if epoch==1 or epoch % 10 == 0`
+    (reference train.py:86) - validation DOES fire at epoch 1 there
+    too. The baseline drivers use every=25 (reference
+    baselines/train.py:87)."""
     from grafp_tpu.fp.builder import create_dummy_db, create_fp_db
     from grafp_tpu.retrieval.evaluate import eval_faiss
 
