@@ -1,18 +1,34 @@
 """Pallas-fused k-NN max-relative aggregation.
 
-One kernel program per batch item: the (N, N) cosine-similarity matrix
-is computed AND consumed entirely in VMEM - the XLA 'onehot' strategy
-(ops/mrconv_neighbors.py) round-trips ~2 GB of (B, N, N) scores through
-HBM per selection round, which is why the stage-1 Grapher measured
-~11 ms despite needing only ~140 GFLOP (scripts/profile_components.py).
-Here HBM traffic is just x in / rel out (~0.5 MB per item).
+The (N, N) cosine-similarity matrix is computed AND consumed entirely
+in VMEM - the XLA 'onehot' strategy (ops/mrconv_neighbors.py)
+round-trips ~2 GB of (B, N, N) scores through HBM per selection round,
+which is why the stage-1 Grapher measured ~11 ms despite needing only
+~140 GFLOP (scripts/profile_components.py). Here HBM traffic is just
+x in / rel out (~0.5 MB per item).
 
-Per round (k rounds, k static):
-    rowmax  = max_j scores[i, j]
-    mask    = scores == rowmax            (ties: see note)
-    feat    = (mask @ x) / rowsum(mask)   -- MXU matmul, VMEM resident
-    rel     = max(rel, feat)
-    scores  = where(mask, -inf, scores)
+Two entry points:
+  * max_neighbors_pallas(x, k) -> rel (B, N, C): drop-in for the other
+    mrconv_neighbors strategies (keys pre-normalized by XLA).
+  * mrconv_concat_pallas(x, k) -> (B, N, 2C) = [x || rel - x]: the
+    production Grapher path. Takes RAW x as its ONLY input; key
+    normalization (f32), selection, neighbor max, subtract and channel
+    concat all happen in VMEM, because the pallas boundary is a fusion
+    barrier - the standalone variant forces XLA to materialize
+    normalize/rel/rel-x/interleave (~1.6 MB/item per Grapher block),
+    which both cost HBM passes and CAUSED the B>=256 throughput
+    anti-scaling (those tensors outgrew VMEM residency). The channel
+    interleave the MRConv grouped conv expects is absorbed into the
+    conv's weight permutation (models/layers.py:grouped_as_concat_dense).
+
+Selection (k static rounds, immutable scores): round r's tie-group is
+{s : s >= rowmax_r and s < rowmax_{r-1}} - equivalent to the classic
+"mask taken entries to -inf and re-max" (the row max strictly decreases)
+but never rewrites scores, so extraction can be deferred and all k
+rounds share ONE (k*T, N) @ (N, C) MXU matmul. Extraction runs at the
+INPUT dtype with f32 accumulation: for bf16 models this is bit-identical
+to f32 extraction (0/1 masks and bf16 values are exact; the bf16->f32
+cast is exact) at the MXU's native bf16 rate.
 
 Tie note: an exact score tie extracts the MEAN of the tied rows and
 consumes one "rank level" for all of them. Ties between *identical*
@@ -20,24 +36,26 @@ feature rows (the common real case: duplicated silent nodes) therefore
 give exactly the right answer; ties between distinct rows (measure-zero
 in float similarities) deviate from take-first semantics.
 
-VMEM budget at the largest stage (N=1024, C=64, f32): scores 4 MB +
-mask 4 MB + x/xn/rel 0.75 MB < 16 MB.
+Tiling: bf16 row tiles up to t=1024 (scores 4 MB f32 + k bf16 masks
+6 MB < 16 MB scoped VMEM); f32 tiles cap at 512. When one program
+covers a full item, multiple batch items are packed per program
+(~_PACK_ROWS rows) to amortize the ~1-2 us per-program fixed cost that
+otherwise dominates the small-N stages.
 
 Gradients: selection is under stop_gradient but features flow through
 the extraction matmul. The custom VJP is a SECOND pallas kernel (not an
-XLA onehot recompute, which round-trips the (B, N, N) masks through
-HBM): it recomputes scores in VMEM, replays the k selection rounds to
-rebuild each round's tie-group mask, picks the winning round per
-(node, channel) against the forward's running max, and scatters
-g/cnt through transposed mask matmuls - accumulating the (N, C)
-cotangent across query tiles in the revisited output block. HBM traffic
-is x/xn/g in, dx out; everything quadratic stays in VMEM.
+XLA onehot recompute): it replays the selection (bit-identical feats),
+picks the winning round per (node, channel) against the forward's
+running max, and scatters all rounds' g/cnt through ONE transposed
+matmul mstack^T @ gstack, accumulating the (N, C) cotangent across
+query tiles in the revisited output block. The concat variant adds the
+direct term g_x - g_rel to its own row tile. HBM traffic is x/g in,
+dx out; everything quadratic stays in VMEM.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
