@@ -12,7 +12,6 @@ a dense matmul, which is the right trade on this hardware.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,23 +19,40 @@ import jax.numpy as jnp
 from grafp_tpu.retrieval.kmeans import kmeans_multi
 
 
-@functools.partial(jax.jit, static_argnames=("n_sub", "ksub"))
-def _pq_encode_chunk(data, dense_cb, cb_sq, n_sub, ksub):
-    """Encode via ONE dense (m, d) x (d, n_sub*ksub) matmul.
-
-    dense_cb is the block-diagonal codebook matrix (subspace s's
-    centroids occupy rows [s*dsub, (s+1)*dsub) and columns
-    [s*ksub, (s+1)*ksub)), so column (s, k) of the product is exactly
-    sub_s . c_{s,k}. The naive einsum 'msd,skd->msk' contracts over
-    dsub (=2 for 64x8 PQ on d=128) - 1/64th of the MXU's 128-deep
-    systolic contraction; densifying trades 64x redundant multiplies by
-    structural zeros for full MXU utilization (measured 23x faster at
-    1M rows, scripts/profile_pq_encode.py).
-    """
+def _pq_encode_chunk_impl(data, codebooks, cb_sq, n_sub):
+    """Encode a chunk via the dsub-contracting einsum. At dsub=2 this
+    underfills the MXU's 128-deep contraction, but measured (v5e,
+    scripts/profile_pq_encode.py) it matches a dense block-diagonal
+    (m, d) x (d, S*K) matmul end-to-end: XLA fuses the 2-term
+    contraction into the subtract+argmax and never materializes the
+    (m, S, K) score tensor, so both run at HBM bandwidth; the einsum
+    needs no extra codebook state."""
     m = data.shape[0]
-    score = jnp.matmul(data, dense_cb, preferred_element_type=jnp.float32)
-    score = score.reshape(m, n_sub, ksub) - 0.5 * cb_sq[None]
+    sub = data.reshape(m, n_sub, -1)
+    score = jnp.einsum("msd,skd->msk", sub, codebooks,
+                       preferred_element_type=jnp.float32)
+    score = score - 0.5 * cb_sq[None]
     return jnp.argmax(score, axis=-1).astype(jnp.uint8)
+
+
+_pq_encode_chunk = jax.jit(_pq_encode_chunk_impl, static_argnames=("n_sub",))
+
+
+@functools.partial(jax.jit, static_argnames=("n_sub", "chunk"))
+def _pq_encode_blocks(data, codebooks, cb_sq, n_sub, chunk):
+    """One dispatch for the whole encode: pad + reshape + scanned chunks
+    + unpad inside a single jit. An EAGER lax.map dispatches each scan
+    iteration separately, and on the remote-TPU transport that costs
+    ~25 ms per chunk (measured: 64 chunks made a 0.25 s encode take
+    1.4-2.2 s)."""
+    m = data.shape[0]
+    nblk = -(-m // chunk)
+    dp = jnp.pad(data, ((0, nblk * chunk - m), (0, 0)))
+    blocks = dp.reshape(nblk, chunk, -1)
+    codes = jax.lax.map(
+        lambda b: _pq_encode_chunk_impl(b, codebooks, cb_sq, n_sub), blocks
+    )
+    return codes.reshape(nblk * chunk, n_sub)[:m]
 
 
 class ProductQuantizer:
@@ -49,50 +65,23 @@ class ProductQuantizer:
         self.dsub = d // n_sub
         self.ksub = ksub
         self.codebooks = None  # (n_sub, ksub, dsub)
-        self._dense = None     # cached (d, S*K) block-diag encode matrix
 
     def train(self, key: jax.Array, data: jnp.ndarray, iters: int = 20) -> None:
         m = data.shape[0]
         sub = data.reshape(m, self.n_sub, self.dsub).transpose(1, 0, 2)
         self.codebooks = kmeans_multi(key, sub, self.ksub, iters)
-        self._dense = None
 
-    def _dense_codebook(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(d, n_sub*ksub) block-diagonal matrix + (n_sub, ksub) sq-norms,
-        built once per train() (see _pq_encode_chunk)."""
-        if getattr(self, "_dense", None) is None:
-            import numpy as onp
-
-            cb = onp.asarray(self.codebooks)              # (S, K, dsub)
-            W = onp.zeros((self.d, self.n_sub * self.ksub), onp.float32)
-            for s in range(self.n_sub):
-                W[s * self.dsub:(s + 1) * self.dsub,
-                  s * self.ksub:(s + 1) * self.ksub] = cb[s].T
-            self._dense = (
-                jnp.asarray(W),
-                jnp.sum(jnp.asarray(cb) ** 2, axis=-1),   # (S, K)
-            )
-        return self._dense
-
-    def encode(self, data: jnp.ndarray, chunk: int = 1 << 16) -> jnp.ndarray:
-        """(M, d) -> (M, n_sub) uint8 (ksub<=256). Scanned in 64k-row
-        chunks inside one jit: the full (M, n_sub, ksub) score tensor
-        would be ~0.5 TB for a 7M-row DB."""
+    def encode(self, data: jnp.ndarray, chunk: int = 1 << 15) -> jnp.ndarray:
+        """(M, d) -> (M, n_sub) uint8 (ksub<=256). ONE jitted dispatch
+        scanning 32k-row chunks (the full (M, n_sub, ksub) score tensor
+        would be ~0.5 TB for a 7M-row DB; eager per-chunk dispatch costs
+        ~25 ms/chunk on the remote transport - see _pq_encode_blocks)."""
         m = data.shape[0]
-        dense_cb, cb_sq = self._dense_codebook()
+        cb_sq = jnp.sum(self.codebooks ** 2, axis=-1)       # (S, K)
         if m <= chunk:
-            return _pq_encode_chunk(data, dense_cb, cb_sq, self.n_sub,
-                                    self.ksub)
-        nblk = -(-m // chunk)
-        pad = nblk * chunk - m
-        dp = jnp.pad(data, ((0, pad), (0, 0)))
-        blocks = dp.reshape(nblk, chunk, -1)
-        codes = jax.lax.map(
-            lambda b: _pq_encode_chunk(b, dense_cb, cb_sq, self.n_sub,
-                                       self.ksub),
-            blocks,
-        )
-        return codes.reshape(nblk * chunk, self.n_sub)[:m]
+            return _pq_encode_chunk(data, self.codebooks, cb_sq, self.n_sub)
+        return _pq_encode_blocks(data, self.codebooks, cb_sq, self.n_sub,
+                                 chunk)
 
     def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
         """(M, n_sub) uint8 -> (M, d) reconstructions.
@@ -130,5 +119,4 @@ class ProductQuantizer:
     def from_state(st) -> "ProductQuantizer":
         pq = ProductQuantizer(int(st["d"]), int(st["n_sub"]), int(st["ksub"]))
         pq.codebooks = st["codebooks"]
-        pq._dense = None
         return pq

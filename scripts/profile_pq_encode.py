@@ -1,10 +1,14 @@
 """PQ bulk-encode throughput (VERDICT r1 weak #7: 7M rows ~ 8 min).
 
-Compares the shipped dense block-diagonal encode against the old
-dsub-contracting einsum at DB-build scale. Run on the real TPU.
+Compares the SHIPPED single-dispatch fused einsum+argmax encode
+(pq.encode) against a dense block-diagonal (m, d) x (d, S*K) matmul at
+DB-build scale. History: the original 8-minute encode was an EAGER
+lax.map (one ~25 ms remote dispatch per chunk); under jit both the
+einsum and dense formulations run at HBM bandwidth (~8-9 Mrows/s, XLA
+fuses either into the argmax). The shipped path keeps the einsum (no
+extra codebook state) inside ONE jitted dispatch. Run on the real TPU.
 """
 
-import functools
 import os
 import sys
 import time
@@ -21,12 +25,19 @@ M = 1 << 21  # 2M rows (scale measured rates to 7M linearly)
 D, NSUB = 128, 64
 
 
-@functools.partial(jax.jit, static_argnames=("n_sub", "dsub"))
-def _encode_einsum(data, codebooks, n_sub, dsub):
-    sub = data.reshape(data.shape[0], n_sub, dsub)
-    score = jnp.einsum("msd,skd->msk", sub, codebooks,
-                       preferred_element_type=jnp.float32)
-    score = score - 0.5 * jnp.sum(codebooks ** 2, axis=-1)[None]
+def _dense_codebook(pq):
+    cb = np.asarray(pq.codebooks)                  # (S, K, dsub)
+    W = np.zeros((pq.d, pq.n_sub * pq.ksub), np.float32)
+    for s in range(pq.n_sub):
+        W[s * pq.dsub:(s + 1) * pq.dsub,
+          s * pq.ksub:(s + 1) * pq.ksub] = cb[s].T
+    return jnp.asarray(W), jnp.sum(jnp.asarray(cb) ** 2, axis=-1)
+
+
+def _encode_dense_chunk(data, dense_cb, cb_sq, n_sub, ksub):
+    m = data.shape[0]
+    score = jnp.matmul(data, dense_cb, preferred_element_type=jnp.float32)
+    score = score.reshape(m, n_sub, ksub) - 0.5 * cb_sq[None]
     return jnp.argmax(score, axis=-1).astype(jnp.uint8)
 
 
@@ -47,32 +58,32 @@ def main():
     fence(pq.encode(data))
     compile_s = time.time() - t0
     t0 = time.time()
-    new_codes = pq.encode(data)
-    fence(new_codes)
+    shipped = pq.encode(data)
+    fence(shipped)
     t_new = time.time() - t0
-    print(f"dense block-diag encode: {t_new:6.2f}s "
+    print(f"shipped fused einsum encode: {t_new:6.2f}s "
           f"({M/t_new/1e6:.2f} Mrows/s, 7M in {7e6/(M/t_new):.0f}s) "
           f"[compile {compile_s:.0f}s]", flush=True)
 
-    chunk = 1 << 15
-    nblk = M // chunk
-    blocks = data.reshape(nblk, chunk, D)
-    run_old = jax.jit(lambda b: jax.lax.map(
-        lambda x: _encode_einsum(x, pq.codebooks, NSUB, D // NSUB), b))
+    dense_cb, cb_sq = _dense_codebook(pq)
+    chunk = 1 << 16
+    blocks = data.reshape(M // chunk, chunk, D)
+    run_dense = jax.jit(lambda b: jax.lax.map(
+        lambda x: _encode_dense_chunk(x, dense_cb, cb_sq, NSUB, 256), b))
     t0 = time.time()
-    fence(run_old(blocks))
+    fence(run_dense(blocks))
     compile_s = time.time() - t0
     t0 = time.time()
-    old_codes = run_old(blocks)
-    fence(old_codes)
+    dense_codes = run_dense(blocks)
+    fence(dense_codes)
     t_old = time.time() - t0
-    print(f"old dsub-einsum encode:  {t_old:6.2f}s "
+    print(f"dense block-diag encode:     {t_old:6.2f}s "
           f"({M/t_old/1e6:.2f} Mrows/s) [compile {compile_s:.0f}s] "
-          f"-> speedup {t_old/t_new:.1f}x", flush=True)
+          f"-> shipped is {t_old/t_new:.1f}x faster", flush=True)
 
     same = np.mean(
-        np.asarray(new_codes[:65536]) ==
-        np.asarray(old_codes).reshape(M, NSUB)[:65536]
+        np.asarray(shipped[:65536]) ==
+        np.asarray(dense_codes).reshape(M, NSUB)[:65536]
     )
     print(f"code agreement on 64k rows: {same:.6f}", flush=True)
 
