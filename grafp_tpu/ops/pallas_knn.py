@@ -328,18 +328,18 @@ def _norm_rows_f32(x):
     return x32 / jnp.maximum(n, 1e-12)
 
 
-def _concat_kernel(k: int, bb: int, t: int, x_ref, out_ref):
-    from jax.experimental import pallas as pl
-
-    j = pl.program_id(1)
+def _concat_kernel(k: int, bb: int, x_ref, rows_ref, out_ref):
+    # rows_ref is the RAW row tile (a separate input block, not a
+    # dynamic slice of the keys: Mosaic has no value-domain
+    # dynamic_slice). Normalization is row-wise, so normalizing the
+    # tile independently is bit-identical to slicing normalized keys.
     for ii in range(bb):                                   # static unroll
-        x = x_ref[ii]                                      # (N, C) raw
+        x = x_ref[ii]                                      # (N, C) raw keys
+        xt = rows_ref[ii]                                  # (T, C) raw rows
         mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
         xn = _norm_rows_f32(x).astype(mm_dtype)
-        n = x.shape[0]
-        rows = xn if t == n else jax.lax.dynamic_slice_in_dim(xn, j * t, t, 0)
+        rows = _norm_rows_f32(xt).astype(mm_dtype)
         rel = _one_forward(k, rows, xn, x)                 # (T, C) f32
-        xt = x if t == n else jax.lax.dynamic_slice_in_dim(x, j * t, t, 0)
         # rel - x in the INPUT dtype, matching the unfused path's
         # `max_relative_neighbors(...).astype(x.dtype) - x`
         diff = rel.astype(x.dtype) - xt
@@ -355,7 +355,7 @@ def _concat_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
     b, n, c = x.shape
     t = _tile_rows(n, x.dtype)
     bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, False)
-    kern = functools.partial(_concat_kernel, k, bb, t)
+    kern = functools.partial(_concat_kernel, k, bb)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n, 2 * c), x.dtype),
@@ -363,25 +363,28 @@ def _concat_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
         in_specs=[
             pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, t, 2 * c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x)
+    )(x, x)
 
 
-def _concat_bwd_kernel(k: int, bb: int, t: int, x_ref, g_ref, dx_ref):
+def _concat_bwd_kernel(k: int, bb: int, t: int, x_ref, rows_ref, g_ref,
+                       dx_ref):
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
     for ii in range(bb):                                   # static unroll
         x = x_ref[ii]                                      # (N, C)
+        xt = rows_ref[ii]                                  # (T, C) raw rows
         g = g_ref[ii]                                      # (T, 2C)
         c = x.shape[1]
-        n = x.shape[0]
         mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
         xn = _norm_rows_f32(x).astype(mm_dtype)
-        rows = xn if t == n else jax.lax.dynamic_slice_in_dim(xn, j * t, t, 0)
+        rows = _norm_rows_f32(xt).astype(mm_dtype)
         g_x = g[:, :c].astype(jnp.float32)
         g_rel = g[:, c:].astype(jnp.float32)
         # y = [x || rel(x) - x]  =>  dx = g_x - g_rel + scatter^T(g_rel)
@@ -396,6 +399,7 @@ def _concat_bwd_kernel(k: int, bb: int, t: int, x_ref, g_ref, dx_ref):
             dx_ref[ii] = dx_ref[ii] + acc.astype(dx_ref.dtype)
 
         direct = (g_x - g_rel).astype(dx_ref.dtype)
+        n = x.shape[0]
         if t == n:
             dx_ref[ii] = dx_ref[ii] + direct
         else:
@@ -413,6 +417,7 @@ def _concat_backward(x: jnp.ndarray, g: jnp.ndarray, k: int,
     t = _tile_rows(n, x.dtype)
     bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, True)
     kern = functools.partial(_concat_bwd_kernel, k, bb, t)
+    xs = jax.lax.stop_gradient(x)
     dx = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
@@ -420,13 +425,15 @@ def _concat_backward(x: jnp.ndarray, g: jnp.ndarray, k: int,
         in_specs=[
             pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, t, 2 * c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, n, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(jax.lax.stop_gradient(x), g)
+    )(xs, xs, g)
     return dx.astype(x.dtype)
 
 
