@@ -51,6 +51,9 @@ from grafp_tpu.retrieval.search import DB_BLOCK_ROWS
 _QBLOCK = 256            # query padding block
 _DB_BLOCK = DB_BLOCK_ROWS  # rows per scored block; see search.DB_BLOCK_ROWS
                            # for the v5e small-f32-block pathology note
+_ADD_CHUNK = 1 << 22     # rows per add() device round trip (2 GB f32):
+                         # fma_large's 30.6M-row memmap must not be
+                         # uploaded in one piece on a 16 GB-HBM chip
 
 
 def _pad_queries(q: np.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -196,14 +199,17 @@ class IndexIVFFlat(IndexFlat):
 
     def add(self, data) -> None:
         assert self.is_trained, "train before add"
-        data = np.asarray(data, np.float32)
         from grafp_tpu.retrieval.kmeans import assign
 
-        cells = np.asarray(assign(jnp.asarray(data), self.centroids))
-        self._rows.append(data)
-        self._cells.append(cells.astype(np.int32))
+        # chunked device round trips: at fma_large scale `data` is a
+        # 15.7 GB memmap - a single jnp.asarray would OOM the 16 GB HBM
+        for s in range(0, len(data), _ADD_CHUNK):
+            chunk = np.asarray(data[s:s + _ADD_CHUNK], np.float32)
+            cells = np.asarray(assign(jnp.asarray(chunk), self.centroids))
+            self._rows.append(chunk)
+            self._cells.append(cells.astype(np.int32))
+            self.ntotal += len(chunk)
         self._cache = None
-        self.ntotal += len(data)
 
     def _payload(self):
         if self._cache is None:
@@ -242,15 +248,18 @@ class IndexIVFPQ(IndexIVFFlat):
 
     def add(self, data) -> None:
         assert self.is_trained
-        data = np.asarray(data, np.float32)
         from grafp_tpu.retrieval.kmeans import assign
 
-        cells = np.asarray(assign(jnp.asarray(data), self.centroids))
-        codes = np.asarray(self.pq.encode(jnp.asarray(data)))
-        self._codes.append(codes)
-        self._cells.append(cells.astype(np.int32))
+        # chunked like IndexIVFFlat.add (memmap-safe at fma_large scale)
+        for s in range(0, len(data), _ADD_CHUNK):
+            chunk = jnp.asarray(np.asarray(data[s:s + _ADD_CHUNK],
+                                           np.float32))
+            cells = np.asarray(assign(chunk, self.centroids))
+            codes = np.asarray(self.pq.encode(chunk))
+            self._codes.append(codes)
+            self._cells.append(cells.astype(np.int32))
+            self.ntotal += len(chunk)
         self._cache = None
-        self.ntotal += len(data)
 
     # decoded-bf16 scan cache: scoring the PQ reconstructions via a dense
     # bf16 matmul is ~100x faster than per-block decode gathers (measured
@@ -416,7 +425,9 @@ def get_index(
         print("Training index using {:>3.2f} % of data...".format(
             100.0 * max_nitem_train / n))
         sel = np.random.permutation(n)[: int(max_nitem_train)]
-        index.train(np.asarray(train_data)[sel])
+        # sorted fancy-index: reads only the selected pages of a memmap
+        # (np.asarray(train_data) would copy the full 15.7 GB first)
+        index.train(train_data[np.sort(sel)])
     else:
         print("Training index...")
         index.train(np.asarray(train_data))

@@ -144,3 +144,40 @@ def test_graph_encoder_remat(rng):
         return jnp.sum(enc_r.apply({"params": p, "batch_stats": v["batch_stats"]}, x, False) ** 2)
     g = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
+
+
+def test_grapher_pallas_strategy_matches_onehot(rng):
+    """The production Grapher path (fused concat kernel + interleave
+    absorbed into the conv weight permutation) must match the onehot
+    strategy's forward AND parameter gradients with SHARED params."""
+    import jax
+
+    from grafp_tpu.models.gnn import Grapher
+
+    x = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    gp = Grapher(features=8, k=3, knn_strategy="pallas")
+    go = Grapher(features=8, k=3, knn_strategy="onehot")
+    v = go.init(jax.random.key(0), x, False)
+    # identical param trees (the concat layout reuses the grouped params)
+    vp = gp.init(jax.random.key(0), x, False)
+    assert jax.tree.structure(vp) == jax.tree.structure(v)
+
+    yp = np.asarray(gp.apply(v, x, False))
+    yo = np.asarray(go.apply(v, x, False))
+    np.testing.assert_allclose(yp, yo, rtol=1e-4, atol=1e-5)
+
+    def loss(mod, params, xx):
+        out = mod.apply(params, xx, True,
+                        rngs={"droppath": jax.random.key(1)},
+                        mutable=["batch_stats"])[0]
+        return jnp.sum(out ** 2)
+
+    gpx = jax.grad(lambda p: loss(gp, p, x))(v)
+    gox = jax.grad(lambda p: loss(go, p, x))(v)
+    flat_p = jax.tree.leaves(gpx)
+    flat_o = jax.tree.leaves(gox)
+    for a, b in zip(flat_p, flat_o):
+        # bias grads are near-zero sums of cancelling terms: different
+        # f32 accumulation orders leave ~1e-5 absolute noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
