@@ -84,7 +84,23 @@ class _BlockScanSearcher:
         """(Q, nlist) bool: is cell c probed by query q. None = no IVF."""
         return None
 
+    # per-block (Q, block) distance matrix cap: at block = 1M rows,
+    # 1024 queries cost a 4 GB f32 transient inside the scan - large
+    # eval batches (fma_large: 9,500 segment queries at once) would
+    # otherwise allocate Q x 1M x 4 B and OOM the 16 GB HBM
+    QUERY_CHUNK = 1024
+
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(q, np.float32)
+        if len(q) > self.QUERY_CHUNK:
+            parts = [self._search_chunk(q[s:s + self.QUERY_CHUNK], k)
+                     for s in range(0, len(q), self.QUERY_CHUNK)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        return self._search_chunk(q, k)
+
+    def _search_chunk(self, q: np.ndarray, k: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
         from grafp_tpu.retrieval.search import masked_scan_search
 
         qj, nq = _pad_queries(np.asarray(q, np.float32))
@@ -264,9 +280,13 @@ class IndexIVFPQ(IndexIVFFlat):
     # decoded-bf16 scan cache: scoring the PQ reconstructions via a dense
     # bf16 matmul is ~100x faster than per-block decode gathers (measured
     # 12 q/s -> dense-scan speed at 7M rows) and costs 2 bytes/dim vs the
-    # codes' 0.5 - still 8x smaller than f32. Above this budget fall back
-    # to on-the-fly decode inside the scan.
-    DECODED_CACHE_BYTES = 6 << 30
+    # codes' 0.5 - still 8x smaller than f32. The budget covers
+    # fma_large (31.1M x 128 bf16 = 7.96 GB) on a 16 GB v5e alongside
+    # the 4 GB query-chunk distance transient. Above it fall back to
+    # on-the-fly decode inside the scan (whose dsub-wide gather pads to
+    # the 128-lane tile - usable, much slower; >40M-row DBs should shard
+    # over the 'db' mesh axis instead).
+    DECODED_CACHE_BYTES = 9 << 30
 
     def _payload(self):
         if self._cache is None:
@@ -274,9 +294,10 @@ class IndexIVFPQ(IndexIVFFlat):
             block = min(_DB_BLOCK, max(len(codes), 1))
             cells = _pad_rows(np.concatenate(self._cells), block, fill=-1)
             if len(codes) * self.d * 2 <= self.DECODED_CACHE_BYTES:
-                # host decode + host bf16 cast: uploads 2 bytes/dim once
-                rows = _pad_rows(self.pq.decode_host(codes), block)
-                rows = rows.astype(jnp.bfloat16)  # ml_dtypes numpy cast
+                # host decode straight to bf16: uploads 2 bytes/dim once
+                rows = _pad_rows(
+                    self.pq.decode_host(codes, dtype=jnp.bfloat16), block
+                )
                 self._cache = (jnp.asarray(rows), None,
                                jnp.asarray(cells), False)
             else:

@@ -96,19 +96,32 @@ class ProductQuantizer:
         )(self.codebooks, codes.astype(jnp.int32))          # (S, dsub, M)
         return jnp.transpose(rec, (2, 0, 1)).reshape(m, self.d)
 
-    def decode_host(self, codes) -> "np.ndarray":
+    def decode_host(self, codes, dtype=None) -> "np.ndarray":
         """Host (numpy) decode for bulk one-time reconstructions (the
         decoded-bf16 scan cache): TPU gathers of dsub-wide rows pad to
         the 128-lane tile (64x memory blowup at dsub=2), so bulk decode
-        is cheaper as 64 numpy fancy-index gathers."""
+        stays on host.
+
+        Row-chunked with ONE broadcast advanced-index per chunk
+        (cb[arange(S), codes_chunk] -> (rows, S, dsub)), so output
+        writes are contiguous. The per-subspace column-strip loop this
+        replaces wrote 2-float pairs at a 512-byte stride, touching
+        every cache line of the 16 GB fma_large output 64 times (~1 TB
+        of effective traffic - over an hour on this 1-core host).
+        `dtype` (e.g. bfloat16) casts per chunk, avoiding a second
+        full-size pass."""
         import numpy as onp
 
         codes = onp.asarray(codes)
         cb = onp.asarray(self.codebooks)                    # (S, ksub, dsub)
         m = codes.shape[0]
-        out = onp.empty((m, self.d), onp.float32)
-        for s in range(self.n_sub):
-            out[:, s * self.dsub:(s + 1) * self.dsub] = cb[s][codes[:, s]]
+        out = onp.empty((m, self.d), dtype or onp.float32)
+        sidx = onp.arange(self.n_sub)[None, :]
+        chunk = 1 << 20
+        for s0 in range(0, m, chunk):
+            c = codes[s0:s0 + chunk].astype(onp.intp)       # (mc, S)
+            dec = cb[sidx, c].reshape(len(c), self.d)       # contiguous
+            out[s0:s0 + len(c)] = dec if dtype is None else dec.astype(dtype)
         return out
 
     def state(self):

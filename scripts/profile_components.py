@@ -3,6 +3,11 @@
 Each candidate op runs REPS times inside one jitted scan with a value
 dependency chain; sync is via scalar fetch (see bench.py note).
 Run: python scripts/profile_components.py
+
+NOTE (round 2): timings in this script predate scan_time_per_iter and
+include the remote transport's fixed ~31 ms dispatch+fetch cost; treat
+absolute numbers as upper bounds (relative comparisons at equal batch
+and iteration counts remain valid). See utils/profiling.scan_time_per_iter.
 """
 
 import os

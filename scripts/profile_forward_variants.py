@@ -1,4 +1,9 @@
-"""Full-forward timing: f32 vs bf16 vs folded-BN on the real TPU."""
+"""Full-forward timing: f32 vs bf16 vs folded-BN on the real TPU.
+NOTE (round 2): timings in this script predate scan_time_per_iter and
+include the remote transport's fixed ~31 ms dispatch+fetch cost; treat
+absolute numbers as upper bounds (relative comparisons at equal batch
+and iteration counts remain valid). See utils/profiling.scan_time_per_iter.
+"""
 
 import os
 import sys

@@ -1,4 +1,9 @@
-"""Time the neighbor-selection strategies on TPU at per-stage shapes."""
+"""Time the neighbor-selection strategies on TPU at per-stage shapes.
+NOTE (round 2): timings in this script predate scan_time_per_iter and
+include the remote transport's fixed ~31 ms dispatch+fetch cost; treat
+absolute numbers as upper bounds (relative comparisons at equal batch
+and iteration counts remain valid). See utils/profiling.scan_time_per_iter.
+"""
 
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

@@ -1,4 +1,9 @@
-"""Retrieval latency vs block size / top-k algorithm (TPU)."""
+"""Retrieval latency vs block size / top-k algorithm (TPU).
+NOTE (round 2): timings in this script predate scan_time_per_iter and
+include the remote transport's fixed ~31 ms dispatch+fetch cost; treat
+absolute numbers as upper bounds (relative comparisons at equal batch
+and iteration counts remain valid). See utils/profiling.scan_time_per_iter.
+"""
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp, numpy as np
