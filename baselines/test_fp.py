@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Baseline-encoder eval driver (reference baselines/test_fp.py role):
-the eval protocol with the tc9-tc12 offset/overlap ablation presets.
+the shared eval protocol with the tc9-tc12 offset/overlap ablation
+presets (reference baselines/test_fp.py:186-197) and AST defaults.
 """
 import os
 import sys
@@ -17,39 +18,25 @@ _BASELINE_PRESETS = {
 
 
 def main(argv=None):
-    import yaml
-
     from grafp_tpu.core.config import load_config
 
-    # patch the preset table used by the shared driver
-    orig_main = tfm.main
-
     argv = list(sys.argv[1:] if argv is None else argv)
-    if "--encoder" not in " ".join(argv):
+    if "--encoder" not in argv:
         argv += ["--encoder", "ast"]
-    if "--config" not in " ".join(argv):
+    if "--config" not in argv:
         argv += ["--config", "config/ast.yaml"]
 
-    # inject baseline presets by monkeypatching the shared preset dict
-    src_main = tfm.main.__globals__
-    tfm_presets_patch = _BASELINE_PRESETS
-    # the shared driver reads presets inline; emulate by pre-mutating
-    # the config through a wrapper
-    import argparse
-
-    p = tfm.build_argparser()
-    args, _ = p.parse_known_args(argv)
+    # The shared driver knows only the grafp tc_27/29/30/31 presets; the
+    # baseline tc9-tc12 presets are applied here by materializing a
+    # resolved config with the preset's offset/overlap baked in.
+    args, _ = tfm.build_argparser().parse_known_args(argv)
     if args.model in _BASELINE_PRESETS:
         cfg = load_config(args.config)
         cfg["offset"], cfg["overlap"] = _BASELINE_PRESETS[args.model]
-        tmp = "baselines/_resolved_config.yaml"
-        cfg.save(tmp)
-        argv = [a for a in argv]
-        if "--config" in argv:
-            argv[argv.index("--config") + 1] = tmp
-        else:
-            argv += ["--config", tmp]
-    orig_main(argv)
+        resolved = "baselines/_resolved_config.yaml"
+        cfg.save(resolved)
+        argv[argv.index("--config") + 1] = resolved
+    tfm.main(argv)
 
 
 if __name__ == "__main__":

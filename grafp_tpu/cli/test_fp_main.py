@@ -199,12 +199,18 @@ def main(argv=None):
             create_fp_db(query_loader, pipeline, banks, fp_dir,
                          seed=args.seed, ir_prob=ir_prob, verbose=False)
 
+            # multi-chip retrieval when the config asks for it (mesh_db>1):
+            # the sharded 'l2' index scores DB shards per chip and merges
+            # over ICI; single-chip otherwise (reference eval.py:206-216)
+            from grafp_tpu.core.mesh import db_mesh_from_config
+
             hit_rates = eval_faiss(
                 emb_dir=fp_dir, test_ids=args.test_ids,
                 test_seq_len=test_seq_len
                 if isinstance(test_seq_len, str)
                 else " ".join(map(str, test_seq_len)),
                 index_type=index_type, nogpu=True,
+                mesh=db_mesh_from_config(cfg),
             )
             text = f"{args.text}_{epoch}"
             label = epoch if isinstance(epoch, int) else 0

@@ -64,6 +64,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def db_mesh_from_config(cfg) -> Optional[Mesh]:
+    """Retrieval mesh from the config's ``mesh_db`` knob, or None.
+
+    ``mesh_db > 1`` lays the requested number of visible devices on the
+    'db' axis so eval_faiss -> get_index('l2') builds the sharded index
+    (IndexFlatSharded). The default (0 or 1) keeps the single-chip path.
+    Returns None - never raises - when the host cannot provide the
+    devices, so a config written for a pod still runs on one chip.
+    """
+    n_db = int(cfg.get("mesh_db", 0) or 0) if hasattr(cfg, "get") else int(cfg)
+    if n_db <= 1:
+        return None
+    devices = jax.devices()
+    if len(devices) < n_db:
+        print(f"[mesh] mesh_db={n_db} requested but only {len(devices)} "
+              f"device(s) visible; falling back to single-chip retrieval")
+        return None
+    return make_mesh(n_data=1, n_db=n_db, devices=devices[:n_db])
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.shape[DATA_AXIS]
     if global_batch % n != 0:

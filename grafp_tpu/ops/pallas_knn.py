@@ -165,6 +165,13 @@ def _pallas_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = x.shape
+    # N >= k precondition (shapes are static): _select_rounds' threshold
+    # formulation assumes a row never exhausts all N columns with budget
+    # remaining - when N < k the classic mask-to--inf selection would
+    # re-pick every column while this one picks none and would inject a
+    # spurious 0 into the running max. Unreachable for the model (N is
+    # 128..1024, k=3); refuse rather than silently deviate.
+    assert n >= k, f"pallas kNN requires N >= k (got N={n}, k={k})"
     t = _tile_rows(n, x.dtype)
     bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, False)
     xs = jax.lax.stop_gradient(x)
@@ -232,6 +239,14 @@ def _one_backward(k: int, rows, xn, x, g):
     for r in range(k):
         win = actives[r] & (feats[r] == rel) & ~claimed
         claimed = claimed | win
+        # DELIBERATE precision trade (unlike the forward's bit-exact
+        # 0/1-mask argument): arbitrary cotangent values are quantized
+        # to bf16 here when the model runs bf16, keeping the scatter
+        # matmul on the MXU's native bf16 path. Training in bf16 is
+        # loss-equivalent end-to-end (scripts/bf16_train_study.py:
+        # 60-step trajectories deviate 1.65% mean / 0.6% final), and
+        # the quantization is regression-guarded by
+        # tests/test_pallas_knn.py::test_bf16_backward_close_to_f32.
         grs.append((jnp.where(win, g, 0.0) / cnts[r]).astype(mm_dtype))
     return jax.lax.dot_general(
         mstack, jnp.concatenate(grs, axis=0),
@@ -353,6 +368,7 @@ def _concat_forward(x: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = x.shape
+    assert n >= k, f"pallas kNN requires N >= k (got N={n}, k={k})"  # see _pallas_forward
     t = _tile_rows(n, x.dtype)
     bb = 1 if t < n else _items_per_block(b, n, c, k, x.dtype, False)
     kern = functools.partial(_concat_kernel, k, bb)

@@ -254,15 +254,26 @@ def evaluate_sequences(
 
 def resolve_test_ids(test_ids, n_query: int, max_sl: int) -> np.ndarray:
     """Reference semantics (eval.py:240-247): 'all' -> every viable start;
-    numeric string -> seeded permutation subset; else -> .npy path."""
+    numeric string -> seeded permutation subset; else -> .npy path.
+
+    File-provided / array-provided ids are clamped into
+    [0, n_query - max_sl] so a test id within max_sl of the query end
+    cannot produce a short window (the batched rescorer stacks
+    query[t:t+sl] rows; the reference's per-id numpy slices silently
+    truncate instead, eval.py:281-287 - the 'all'/numeric branches
+    already generate only viable starts, so only external ids need the
+    guard)."""
+    def _clamp(ids: np.ndarray) -> np.ndarray:
+        return np.clip(ids, 0, max(n_query - max_sl, 0))
+
     if isinstance(test_ids, np.ndarray):
-        return test_ids.astype(int)
+        return _clamp(test_ids.astype(int))
     if str(test_ids).lower() == "all":
         return np.arange(0, n_query - max_sl, 1)
     if str(test_ids).isnumeric():
         np.random.seed(42)
         return np.random.permutation(n_query - max_sl)[: int(test_ids)]
-    return np.load(test_ids).astype(int)
+    return _clamp(np.load(test_ids).astype(int))
 
 
 def eval_faiss(
@@ -276,9 +287,16 @@ def eval_faiss(
     k_probe: int = 20,
     n_centroids: int = 64,
     verbose: bool = True,
+    mesh=None,
 ) -> np.ndarray:
     """Drop-in equivalent of reference eval.py:170-332 (the name is kept
-    for CLI parity; the engine is the on-TPU index family, not FAISS)."""
+    for CLI parity; the engine is the on-TPU index family, not FAISS).
+
+    mesh: optional jax.sharding.Mesh with a 'db' axis - threads through
+    to get_index so the 'l2' mode shards the database rows across chips
+    (per-chip distance matmul + local top-k, ICI all-gather merge). This
+    is the multi-chip path of the reference's eval contract
+    (eval.py:206-216); identical results to the single-chip index."""
     if isinstance(test_seq_len, str):
         test_seq_len = np.asarray(list(map(int, test_seq_len.split())))
     else:
@@ -293,7 +311,7 @@ def eval_faiss(
     )
 
     index = get_index(index_type, dummy_db, dummy_db.shape, (not nogpu),
-                      max_train, n_centroids=n_centroids)
+                      max_train, n_centroids=n_centroids, mesh=mesh)
     t0 = time.time()
     index.add(dummy_db)
     index.add(db)

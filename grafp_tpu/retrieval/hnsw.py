@@ -22,13 +22,23 @@ import numpy as np
 
 
 class IndexHNSW:
+    # Construction is O(N log N) sequential *Python*: ~100k rows already
+    # takes minutes on one core, and fma_medium scale (1.6M segments)
+    # would take hours. Refuse past this bound so the factory's "API
+    # completeness" framing stays honest - 'l2' (exact, on-TPU) or
+    # 'ivfpq' are strictly better there. Override via max_rows for
+    # callers who measured their own tolerance.
+    DEFAULT_MAX_ROWS = 100_000
+
     def __init__(self, d: int, m: int = 16, ef_construction: int = 80,
-                 ef_search: int = 64, seed: int = 0):
+                 ef_search: int = 64, seed: int = 0,
+                 max_rows: int = DEFAULT_MAX_ROWS):
         self.d = d
         self.m = m
         self.m0 = 2 * m            # level-0 degree (FAISS convention)
         self.ef_construction = ef_construction
         self.ef_search = ef_search
+        self.max_rows = max_rows
         self.mult = 1.0 / math.log(m)
         self.rng = np.random.RandomState(seed)
         self.vectors: Optional[np.ndarray] = None
@@ -93,6 +103,14 @@ class IndexHNSW:
 
     def add(self, data) -> None:
         data = np.ascontiguousarray(np.asarray(data, np.float32))
+        if self.ntotal + len(data) > self.max_rows:
+            raise ValueError(
+                f"IndexHNSW: {self.ntotal + len(data):,} rows exceeds the "
+                f"host-side construction bound of {self.max_rows:,} "
+                f"(sequential Python insertion takes hours at this scale); "
+                f"use index_type 'l2' (exact, on-TPU) or 'ivfpq' instead, "
+                f"or construct with max_rows=... to override"
+            )
         start = self.ntotal
         self.vectors = (data if self.vectors is None
                         else np.concatenate([self.vectors, data]))

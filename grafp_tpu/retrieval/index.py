@@ -37,6 +37,7 @@ Design notes (TPU-first, not a FAISS port):
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional, Tuple
 
@@ -280,20 +281,32 @@ class IndexIVFPQ(IndexIVFFlat):
     # decoded-bf16 scan cache: scoring the PQ reconstructions via a dense
     # bf16 matmul is ~100x faster than per-block decode gathers (measured
     # 12 q/s -> dense-scan speed at 7M rows) and costs 2 bytes/dim vs the
-    # codes' 0.5 - still 8x smaller than f32. The budget covers
-    # fma_large (31.1M x 128 bf16 = 7.96 GB) on a 16 GB v5e alongside
-    # the 4 GB query-chunk distance transient. Above it fall back to
-    # on-the-fly decode inside the scan (whose dsub-wide gather pads to
-    # the 128-lane tile - usable, much slower; >40M-row DBs should shard
-    # over the 'db' mesh axis instead).
-    DECODED_CACHE_BYTES = 9 << 30
+    # codes' 0.5 - still 8x smaller than f32. Above the budget fall back
+    # to on-the-fly decode inside the scan (whose dsub-wide gather pads
+    # to the 128-lane tile - usable, much slower; >40M-row DBs should
+    # shard over the 'db' mesh axis instead).
+
+    @classmethod
+    def decoded_cache_budget(cls) -> int:
+        """Cache budget DERIVED from what else must fit in HBM, not a
+        bare constant (ADVICE r2): HBM minus the scan's per-block
+        distance transient (QUERY_CHUNK x _DB_BLOCK f32 = 4 GiB), minus
+        2 GiB for padded queries/cells/membership tables and runtime
+        overheads -> ~10 GiB on a 16 GiB v5e. The largest on-chip point
+        validated end-to-end is fma_large's 7.96 GiB decoded cache
+        (scripts/fma_large_smoke.py), comfortably inside.
+        GRAFP_HBM_BYTES overrides the HBM size for other parts."""
+        hbm = int(os.environ.get("GRAFP_HBM_BYTES", 16 << 30))
+        transient = cls.QUERY_CHUNK * _DB_BLOCK * 4
+        fixed = 2 << 30
+        return max(hbm - transient - fixed, 1 << 30)
 
     def _payload(self):
         if self._cache is None:
             codes = np.concatenate(self._codes)
             block = min(_DB_BLOCK, max(len(codes), 1))
             cells = _pad_rows(np.concatenate(self._cells), block, fill=-1)
-            if len(codes) * self.d * 2 <= self.DECODED_CACHE_BYTES:
+            if len(codes) * self.d * 2 <= self.decoded_cache_budget():
                 # host decode straight to bf16: uploads 2 bytes/dim once
                 rows = _pad_rows(
                     self.pq.decode_host(codes, dtype=jnp.bfloat16), block

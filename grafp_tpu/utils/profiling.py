@@ -13,7 +13,7 @@ beyond wall-clock prints; this is a first-class subsystem here).
 from __future__ import annotations
 
 import contextlib
-import functools
+import itertools
 import time
 from typing import Any, Dict, Optional
 
@@ -68,6 +68,51 @@ class StepTimer:
         }
 
 
+class IterTimer:
+    """One-compile, dedup-proof loop timer for ``body(x) -> array``.
+
+    Compiles a SINGLE executable whose loop length is a traced scalar
+    (``lax.fori_loop`` with a dynamic bound), so timing at several
+    lengths never recompiles - round 2's two static-length ``lax.scan``
+    compiles of the heaviest program in the repo blew the driver's
+    wall-clock budget (BENCH_r02.json: rc=124, parsed=null).
+
+    Dedup defense (the remote TPU may serve a repeated dispatch of an
+    identical (executable, inputs) pair from cache - CLAUDE.md): every
+    ``run()`` call draws a fresh carry seed from a monotone counter, and
+    the body input is folded through the carry, so no two dispatches are
+    value-identical.
+
+    The body is chained through the loop carry (out-checksum folded into
+    the next iteration's input at 1e-20 scale) so XLA can neither hoist
+    it as loop-invariant nor elide iterations; the checksum covers EVERY
+    output element, so nothing is dead-code-eliminated. Timing syncs by
+    FETCHING the carry (``block_until_ready`` is not a reliable fence on
+    the remote transport).
+    """
+
+    def __init__(self, body, x):
+        @jax.jit
+        def run(x, s0, iters):
+            def step(i, c):
+                out = body(jax.tree.map(lambda a: a * (1 + c * 1e-20), x))
+                return jnp.sum(out).astype(jnp.float32) * 1e-20 + c
+
+            return jax.lax.fori_loop(0, iters, step, s0)
+
+        self._run = run
+        self._x = x
+        self._seq = itertools.count()
+
+    def run(self, iters: int) -> float:
+        """One timed dispatch at ``iters`` loop iterations; returns
+        wall seconds including the fixed dispatch+fetch round trip."""
+        s0 = jnp.float32(next(self._seq))       # value-unique per dispatch
+        t0 = time.perf_counter()
+        float(self._run(self._x, s0, jnp.int32(iters)))   # fetch = fence
+        return time.perf_counter() - t0
+
+
 def scan_time_per_iter(
     body,
     x,
@@ -77,44 +122,25 @@ def scan_time_per_iter(
 ) -> Dict[str, float]:
     """Steady-state per-iteration seconds of ``body(x) -> array``.
 
-    Times a jitted ``lax.scan`` of the body at TWO static lengths and
-    reports ``(t_hi - t_lo) / (iters_hi - iters_lo)``. The difference
-    cancels every fixed cost exactly - dispatch, the remote-transport
-    round trip of the result fetch, scalar-transfer latency - which on
-    the tunneled TPU is tens of milliseconds and otherwise pollutes
-    short measurements (measured: ~30-45 ms, enough to masquerade as
-    "batch anti-scaling" when divided by iters*batch).
+    Times the IterTimer program at TWO lengths and reports
+    ``(t_hi - t_lo) / (iters_hi - iters_lo)``. The difference cancels
+    every fixed cost exactly - dispatch, the remote-transport round trip
+    of the result fetch, scalar-transfer latency - which on the tunneled
+    TPU is tens of milliseconds and otherwise pollutes short
+    measurements (measured: ~30-45 ms, enough to masquerade as "batch
+    anti-scaling" when divided by iters*batch).
 
-    The body is chained through the scan carry (out-checksum folded into
-    the next iteration's input at 1e-20 scale) so XLA can neither hoist
-    it as loop-invariant nor dedup identical dispatches. Each length is
-    timed `reps` times and the MINIMUM taken (transport noise is strictly
-    additive).
+    Each length is timed `reps` times and the MINIMUM taken (transport
+    noise is strictly additive). Both lengths share ONE compile (dynamic
+    loop bound) and every dispatch is value-unique (see IterTimer).
     """
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def run(x, s0, iters):
-        def step(c, i):
-            out = body(jax.tree.map(lambda a: a * (1 + c * 1e-20), x))
-            # checksum over EVERY output element: anything less lets XLA
-            # dead-code-eliminate untouched rows
-            return jnp.sum(out).astype(jnp.float32) * 1e-20 + c, None
-
-        s, _ = jax.lax.scan(step, s0, jnp.arange(iters))
-        return s
-
-    s0 = jnp.float32(0)
+    timer = IterTimer(body, x)
+    t0 = time.perf_counter()
+    timer.run(iters_hi)                          # compile + first run
+    compile_s = time.perf_counter() - t0
     times = {}
-    compile_s = 0.0
     for iters in (iters_lo, iters_hi):
-        t0 = time.perf_counter()
-        float(run(x, s0, iters))                       # compile + first run
-        compile_s += time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run(x, s0, iters))                   # fetch = the fence
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
+        times[iters] = min(timer.run(iters) for _ in range(reps))
     per_iter = (times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo)
     overhead = times[iters_lo] - per_iter * iters_lo
     return {

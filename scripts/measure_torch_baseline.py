@@ -8,7 +8,8 @@ chymaera96/GraFP's SimCLR(GraphEncoder), reference
 encoder/graph_encoder.py:69-191), runs the inference forward on CPU
 torch (the only torch backend in this image), and reports
 fingerprints/s plus the implied FLOP rate against the model's analytic
-~2.3 GFLOP/fingerprint.
+7.57 GFLOP/fingerprint (scripts/flops_model.py - the repo's ONE FLOP
+account; the round-1 2.3 figure undercounted and is retired).
 
 The GPU anchor is then measured_cpu_fps x GPU_FACTOR with the factor
 documented in BASELINE.md (ratio of sustained conv/matmul FLOP rates,
@@ -25,7 +26,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-FWD_GFLOP_PER_FP = 2.3  # analytic forward cost, BASELINE.md
+FWD_GFLOP_PER_FP = 7.573  # analytic forward cost, scripts/flops_model.py
+                          # (the single FLOP constant; BASELINE.md MFU table)
 
 
 def main():

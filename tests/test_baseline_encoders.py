@@ -61,3 +61,33 @@ def test_build_model_ast_from_reference_yaml():
     v = model.init({"params": jax.random.key(0)}, x, False)
     h, z = model.apply(v, x, False)
     assert h.shape == (2, 1024) and z.shape == (2, 128)
+
+
+def test_baseline_test_fp_preset_resolution(monkeypatch, tmp_path):
+    """baselines/test_fp.py resolves tc9-tc12 presets into a materialized
+    config and defaults to the AST encoder (reference
+    baselines/test_fp.py:186-197)."""
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "baseline_test_fp", os.path.join(repo, "baselines", "test_fp.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    seen = {}
+    monkeypatch.setattr(mod.tfm, "main", lambda argv: seen.update(argv=argv))
+    monkeypatch.chdir(repo)
+    mod.main(["--model", "tc10"])
+
+    argv = seen["argv"]
+    assert argv[argv.index("--encoder") + 1] == "ast"
+    cfg_path = argv[argv.index("--config") + 1]
+    from grafp_tpu.core.config import load_config
+
+    cfg = load_config(cfg_path)
+    assert (cfg["offset"], cfg["overlap"]) == (0.05, 0.9)
+    os.remove(cfg_path)

@@ -38,6 +38,11 @@ def test_model_test_script_loads_pth(pth_ckpt):
     from grafp_tpu.models import build_model
 
     cfg = load_config(os.path.join(REPO, "config", "grafp.yaml"))
+    # the shipped config's production default is bfloat16; this test
+    # applies the model EAGERLY (un-jitted), where the CPU thunk runtime
+    # rejects batched bf16 dots - and the .pth import check doesn't need
+    # production numerics anyway
+    cfg["compute_dtype"] = "float32"
     model = build_model(cfg)
     params, batch_stats = load_any_checkpoint(pth_ckpt, model, cfg)
     import jax

@@ -22,6 +22,11 @@ def test_load_reference_grafp_yaml():
     assert cfg["n_mels"] == 64
     cfg["val_snr"] = [5, 5]
     assert cfg.val_snr == [5, 5]
+    # the shipped config carries the production TPU numerics (round-2
+    # VERDICT #6: every BASELINE.md number is bf16; the CLI must
+    # reproduce them without hand edits)
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.knn_strategy == "auto"
 
 
 def test_derived_quantities():

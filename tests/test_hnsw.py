@@ -42,3 +42,19 @@ def test_hnsw_in_factory(rng):
     idx.add(db)
     d, i = idx.search(q[:5], 3)
     assert i.shape == (5, 3)
+
+
+def test_hnsw_scale_guard(rng):
+    """Construction refuses past max_rows with a pointer to the on-TPU
+    modes (round-2 VERDICT weak #7: sequential Python insertion would
+    silently take hours at fma scales)."""
+    import pytest
+
+    from grafp_tpu.retrieval.hnsw import IndexHNSW
+
+    idx = IndexHNSW(8, max_rows=10)
+    idx.add(rng.randn(6, 8).astype("float32"))
+    with pytest.raises(ValueError, match="'l2'"):
+        idx.add(rng.randn(5, 8).astype("float32"))
+    assert idx.ntotal == 6  # the refused add left the index untouched
+    assert IndexHNSW.DEFAULT_MAX_ROWS == 100_000

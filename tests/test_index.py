@@ -153,3 +153,16 @@ def test_sharded_flat_matches_flat(corpus):
     db_, ib = b.search(q, 7)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db_, rtol=1e-4, atol=1e-5)
+
+
+def test_decoded_cache_budget_derivation(monkeypatch):
+    """The PQ decoded-cache budget is derived from HBM minus the scan
+    transient (ADVICE r2), and the env override scales it."""
+    from grafp_tpu.retrieval.index import _DB_BLOCK, IndexIVFPQ
+
+    b16 = IndexIVFPQ.decoded_cache_budget()
+    transient = IndexIVFPQ.QUERY_CHUNK * _DB_BLOCK * 4
+    assert b16 == (16 << 30) - transient - (2 << 30)
+    assert b16 >= int(7.96 * (1 << 30))     # fma_large's validated point fits
+    monkeypatch.setenv("GRAFP_HBM_BYTES", str(8 << 30))
+    assert IndexIVFPQ.decoded_cache_budget() == (8 << 30) - transient - (2 << 30)

@@ -84,6 +84,50 @@ def test_pallas_gradient_bf16_cotangent(rng):
     assert np.isfinite(np.asarray(g, np.float32)).all()
 
 
+def test_bf16_backward_close_to_f32(rng):
+    """The backward's bf16 cast of the cotangent (g/cnt) is a deliberate
+    precision trade (ops/pallas_knn.py:_one_backward) - unlike the
+    forward's bit-exact 0/1-mask argument, arbitrary gradient values ARE
+    quantized. Bound the deviation against the f32 reference on
+    bf16-representable inputs (so selection is identical and the only
+    difference is the backward's quantization)."""
+    from grafp_tpu.ops.mrconv_neighbors import max_neighbors_onehot
+
+    b, n, c, k = 2, 24, 8, 3
+    x16 = jnp.asarray(rng.randn(b, n, c).astype(np.float32)).astype(jnp.bfloat16)
+    x32 = x16.astype(jnp.float32)                 # exactly representable
+    w16 = jnp.asarray(rng.randn(b, n, c).astype(np.float32)).astype(jnp.bfloat16)
+    w32 = w16.astype(jnp.float32)
+
+    g16 = jax.grad(lambda xx: jnp.sum(
+        (max_neighbors_pallas(xx, k, True) * w16).astype(jnp.float32)))(x16)
+    g32 = jax.grad(lambda xx: jnp.sum(
+        max_neighbors_onehot(xx, k) * w32))(x32)
+
+    g16 = np.asarray(g16, np.float32)
+    g32 = np.asarray(g32)
+    scale = np.abs(g32).max()
+    assert scale > 0
+    # bf16 keeps 8 mantissa bits (~0.4% per element); f32 accumulation
+    # keeps the matmul from compounding it
+    np.testing.assert_allclose(g16, g32, rtol=0, atol=0.02 * scale)
+
+
+def test_n_ge_k_precondition(rng):
+    """N < k is refused at the static-shape wrappers (ADVICE r2: the
+    thresholded selection would silently inject 0 into the running max
+    where the classic formulation re-selects every column)."""
+    import pytest
+
+    from grafp_tpu.ops.pallas_knn import mrconv_concat_pallas
+
+    x = jnp.asarray(rng.randn(1, 2, 8).astype(np.float32))
+    with pytest.raises(AssertionError, match="N >= k"):
+        max_neighbors_pallas(x, 3, True)
+    with pytest.raises(AssertionError, match="N >= k"):
+        mrconv_concat_pallas(x, 3, True)
+
+
 def test_mrconv_concat_matches_separate_paths(rng):
     """The fused [x || rel - x] kernel must equal the standalone kernel's
     rel minus x, concat layout, for f32 (bit-exact selection) inputs."""

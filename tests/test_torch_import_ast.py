@@ -98,6 +98,9 @@ def test_ast_import_forward_parity(rng):
     params, batch_stats = torch_ast_state_dict_to_tree(sd_np)
 
     cfg = load_config("config/ast.yaml")
+    # parity vs f32 torch needs f32 numerics (the shipped config's
+    # production default is bfloat16)
+    cfg["compute_dtype"] = "float32"
     model = build_model(cfg)
     spec = rng.randn(2, 64, 100).astype(np.float32)
     template = model.init({"params": jax.random.key(0)},
