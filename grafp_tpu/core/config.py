@@ -173,8 +173,13 @@ class Config:
     @property
     def seg_hop_frames(self) -> int:
         """Frame hop between overlapping eval segments
-        (reference transformations.py:90: int(n_frames*(1-overlap)))."""
-        return int(self.n_frames * (1 - self.overlap))
+        (reference transformations.py:90: int(n_frames*(1-overlap))).
+        Floored at 1: at degenerate geometries (high overlap x small
+        n_frames, e.g. the tc_29 preset's 0.9 on a 8-frame test config)
+        the reference formula truncates to 0 and its unfold would
+        zero-divide; a 1-frame hop is the closest well-defined protocol
+        (production geometry 32 x 0.9 -> 3 is unaffected)."""
+        return max(1, int(self.n_frames * (1 - self.overlap)))
 
     def to_dict(self) -> Dict[str, Any]:
         out = {}

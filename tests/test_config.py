@@ -58,3 +58,11 @@ def test_reference_shuffle_matches_legacy_numpy():
     legacy = np.arange(100)
     np.random.shuffle(legacy)
     assert np.array_equal(idx, legacy)
+
+
+def test_seg_hop_floor():
+    """Degenerate geometry (high overlap x small n_frames) floors the
+    segment hop at 1 instead of the reference formula's 0 (which would
+    zero-divide the unfold); production 32 x 0.9 -> 3 unchanged."""
+    assert Config(n_frames=8, overlap=0.9).seg_hop_frames == 1
+    assert Config().seg_hop_frames == 3
