@@ -19,7 +19,9 @@ fwd+bwd + adam) ~ scheduling/fusion interactions across stage seams.
 
 Run on the real TPU:  python scripts/profile_train_backward.py [B] [remat]
 (B defaults to 256 pairs; pass `remat` to wrap backbone blocks in
-jax.checkpoint and compare.)
+jax.checkpoint and compare; pass `fullonly` to skip the per-stage
+breakdown and measure only the real make_train_step program - the one
+wall-clock stage that is sensitive to host CPU contention.)
 """
 
 import os
@@ -66,6 +68,7 @@ def main():
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     remat = "remat" in sys.argv[2:]
+    fullonly = "fullonly" in sys.argv[2:]
     rng = np.random.RandomState(0)
     banks = AugmentBanks.from_arrays(
         noise_clips=[rng.randn(64000).astype(np.float32) for _ in range(8)],
@@ -90,6 +93,47 @@ def main():
     FWD_GFLOP = 7.573
     print(f"backend={jax.default_backend()} B={b} pairs (2B={2 * b} items) "
           f"remat={remat} lo/hi={LO}/{HI}", flush=True)
+
+    if not fullonly:
+        _stage_breakdown(stage, locals())
+
+    # the real program, eagerly chained (async dispatch amortizes the
+    # transport; the final fetch is the fence)
+    step = make_train_step(model, cfg, banks, donate=False)
+    st = state
+    t0 = time.time()
+    st, m = step(st, x_i, x_j, jax.random.key(0))
+    float(m["loss"])
+    print(f"{'full':12s} compile+first {time.time() - t0:5.1f}s", flush=True)
+    iters = 6
+    best = float("inf")
+    for _ in range(3 if fullonly else 1):
+        t0 = time.time()
+        for i in range(iters):
+            st, m = step(st, x_i, x_j, jax.random.key(i + 1))
+        lf = float(m["loss"])
+        best = min(best, (time.time() - t0) / iters)
+    t_full = best
+    FWD_GFLOP = 7.573
+    tf = 3 * FWD_GFLOP * 2 * b / t_full / 1e3
+    print(f"{'full':12s} {t_full * 1e3:8.2f} ms  ({b / t_full:,.0f} pairs/s, "
+          f"loss {lf:.3f})  {tf:6.1f} TF/s = {100 * tf / 197:4.1f}% bf16 MFU",
+          flush=True)
+
+
+def _stage_breakdown(stage, env):
+    (model, params, batch_stats, state, banks, cfg, mcfg, b, key, snr,
+     x_j, waves2b, spec2b) = (
+        env["model"], env["params"], env["batch_stats"], env["state"],
+        env["banks"], env["cfg"], env["mcfg"], env["b"], env["key"],
+        env["snr"], env["x_j"], env["waves2b"], env["spec2b"])
+    from grafp_tpu.dsp.augment import augment_waveforms
+    from grafp_tpu.dsp.melspec import log_mel_spectrogram
+    from grafp_tpu.train.loss import ntxent_loss
+    from grafp_tpu.train.step import optax_global_norm
+    import jax
+
+    FWD_GFLOP = 7.573
 
     stage("aug", lambda w: augment_waveforms(
         w, banks, key, snr, 1.0, 1.0), x_j)
@@ -130,26 +174,7 @@ def main():
         ns = state.apply_gradients(g, batch_stats)
         return optax_global_norm(ns.params) + optax_global_norm(g)
 
-    t_adam = stage("adam+gnorm", adam, grads)
-
-    # the real program, eagerly chained (async dispatch amortizes the
-    # transport; the final fetch is the fence)
-    step = make_train_step(model, cfg, banks, donate=False)
-    st = state
-    t0 = time.time()
-    st, m = step(st, x_i, x_j, jax.random.key(0))
-    float(m["loss"])
-    print(f"{'full':12s} compile+first {time.time() - t0:5.1f}s", flush=True)
-    iters = 6
-    t0 = time.time()
-    for i in range(iters):
-        st, m = step(st, x_i, x_j, jax.random.key(i + 1))
-    lf = float(m["loss"])
-    t_full = (time.time() - t0) / iters
-    tf = 3 * FWD_GFLOP * 2 * b / t_full / 1e3
-    print(f"{'full':12s} {t_full * 1e3:8.2f} ms  ({b / t_full:,.0f} pairs/s, "
-          f"loss {lf:.3f})  {tf:6.1f} TF/s = {100 * tf / 197:4.1f}% bf16 MFU",
-          flush=True)
+    stage("adam+gnorm", adam, grads)
 
 
 if __name__ == "__main__":

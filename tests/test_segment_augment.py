@@ -75,8 +75,12 @@ def test_banks_packing_loops_and_pads():
         noise_len=40,
         ir_len=8,
     )
-    assert banks.noise.shape == (2, 40)
-    np.testing.assert_array_equal(np.asarray(banks.noise[0]), np.ones(40))  # looped
+    # noise rows are sized up to the 128-sample lane multiple (the
+    # sampler block-gathers at that granularity) and the loop-fill
+    # covers the whole lane-padded row
+    assert banks.noise.shape == (2, 128)
+    np.testing.assert_array_equal(np.asarray(banks.noise[0]), np.ones(128))
+    assert int(banks.noise_valid[0]) == 128
     assert banks.ir.shape == (1, 8)
     np.testing.assert_array_equal(np.asarray(banks.ir[0, 5:]), np.zeros(3))  # padded
 
@@ -99,3 +103,52 @@ def test_augment_waveforms_end_to_end(rng):
     # prob=0 -> passthrough
     y0 = augment_waveforms(x, banks, key, (0.0, 20.0), 0.0, 0.0)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(x))
+
+
+def test_apply_ir_os_matches_convolve(rng):
+    """The MXU-native partitioned overlap-add GEMM convolution (the
+    production IR path; jnp.fft measured 46.9 ms/step on TPU) must equal
+    np.convolve and the FFT reference to f32 rounding, including IRs
+    longer than the audio and non-multiple-of-hop lengths."""
+    import jax.numpy as jnp
+
+    from grafp_tpu.dsp.augment import (
+        apply_ir, apply_ir_os, partitioned_ir_spectra,
+    )
+
+    for (b, t, l) in ((2, 4000, 9000), (2, 2500, 300), (1, 1024, 1)):
+        x = rng.randn(b, t).astype(np.float32)
+        irs = rng.randn(b, l).astype(np.float32) * 0.1
+        re, im = partitioned_ir_spectra(irs)
+        got = np.asarray(apply_ir_os(jnp.asarray(x), re, im))
+        want = np.stack([np.convolve(x[i], irs[i])[:t] for i in range(b)])
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * scale)
+        fft = np.asarray(apply_ir(jnp.asarray(x), jnp.asarray(irs)))
+        np.testing.assert_allclose(got, fft, rtol=0, atol=2e-5 * scale)
+
+
+def test_augment_waveforms_gemm_matches_fft_path(rng):
+    """augment_waveforms with precomputed spectra (production) equals the
+    FFT fallback on the same banks and key."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from grafp_tpu.dsp.augment import AugmentBanks, augment_waveforms
+
+    banks = AugmentBanks.from_arrays(
+        noise_clips=[rng.randn(5000).astype(np.float32) for _ in range(3)],
+        ir_clips=[np.r_[1.0, rng.randn(2047) * 0.1].astype(np.float32)
+                  for _ in range(2)],
+        noise_len=5000, ir_len=2048,
+    )
+    assert banks.ir_spec_re is not None      # built automatically
+    no_spec = dataclasses.replace(banks, ir_spec_re=None, ir_spec_im=None)
+    x = jnp.asarray(rng.randn(4, 3000).astype(np.float32))
+    key = jax.random.key(3)
+    y_gemm = np.asarray(augment_waveforms(x, banks, key, (0.0, 10.0)))
+    y_fft = np.asarray(augment_waveforms(x, no_spec, key, (0.0, 10.0)))
+    np.testing.assert_allclose(y_gemm, y_fft, rtol=0,
+                               atol=2e-5 * np.abs(y_fft).max())
