@@ -69,6 +69,7 @@ def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     remat = "remat" in sys.argv[2:]
     fullonly = "fullonly" in sys.argv[2:]
+    donate = "donate" in sys.argv[2:]   # the CLI trains with donate=True
     rng = np.random.RandomState(0)
     banks = AugmentBanks.from_arrays(
         noise_clips=[rng.randn(64000).astype(np.float32) for _ in range(8)],
@@ -92,14 +93,14 @@ def main():
     # forward FLOPs per ITEM (2b items per step); bwd ~ 2x fwd
     FWD_GFLOP = 7.573
     print(f"backend={jax.default_backend()} B={b} pairs (2B={2 * b} items) "
-          f"remat={remat} lo/hi={LO}/{HI}", flush=True)
+          f"remat={remat} donate={donate} lo/hi={LO}/{HI}", flush=True)
 
     if not fullonly:
         _stage_breakdown(stage, locals())
 
     # the real program, eagerly chained (async dispatch amortizes the
     # transport; the final fetch is the fence)
-    step = make_train_step(model, cfg, banks, donate=False)
+    step = make_train_step(model, cfg, banks, donate=donate)
     st = state
     t0 = time.time()
     st, m = step(st, x_i, x_j, jax.random.key(0))
