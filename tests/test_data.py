@@ -248,21 +248,33 @@ def test_qtile_norm_matches_reference_quantile(rng):
     np.testing.assert_allclose(qtile_norm(y, 0.95), ref, rtol=1e-6)
 
 
-def test_dataset_decode_cache(audio_dir, tmp_path):
+def test_dataset_decode_cache(audio_dir, tmp_path, monkeypatch):
+    # Count decode calls instead of timing them: wall-clock comparisons
+    # are flaky on this 1-core box under load.
+    import grafp_tpu.data.dataset as dataset_mod
+
+    calls = {"n": 0}
+    real_load = dataset_mod.load_audio
+
+    def counting_load(path):
+        calls["n"] += 1
+        return real_load(path)
+
+    monkeypatch.setattr(dataset_mod, "load_audio", counting_load)
+
     cfg = _cfg(audio_dir, tmp_path)
     ds = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0,
                             cache_decoded=True)
-    import time
-
     _ = ds[0]
-    t0 = time.time()
+    first = calls["n"]
+    assert first >= 1
     for _ in range(20):
         _ = ds[0]
-    cached = time.time() - t0
-    ds2 = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0)
-    t0 = time.time()
-    for _ in range(20):
-        _ = ds2[0]
-    uncached = time.time() - t0
+    assert calls["n"] == first  # decode skipped on cache hits
     assert len(ds._cache) >= 1
-    assert cached < uncached  # decode skipped
+
+    ds2 = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0)
+    _ = ds2[0]
+    before = calls["n"]
+    _ = ds2[0]
+    assert calls["n"] > before  # uncached dataset re-decodes
