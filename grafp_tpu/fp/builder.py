@@ -27,7 +27,9 @@ from __future__ import annotations
 import functools
 import math
 import time
-from typing import Iterable, Optional, Tuple
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -198,6 +200,33 @@ class FingerprintPipeline:
         return total
 
 
+def _ordered_overlap(
+    fn: Callable, items: Iterable, workers: int = 3, inflight: int = 4
+) -> Iterator:
+    """Yield ``fn(x)`` for each item IN ORDER while up to ``inflight``
+    calls run concurrently in worker threads.
+
+    The DB builders are round-trip-bound on the remote-attached TPU
+    (~95 ms/track of upload+dispatch+fetch vs ~14 ms of model compute at
+    the measured 14.6k fp/s): a strictly serial loop leaves the chip
+    idle most of the time. jit dispatch and host<->device transfers
+    release the GIL, so a few threads overlap track N's fetch with
+    track N+1's upload/compute. Bounded in-flight keeps memory flat
+    (unlike ThreadPoolExecutor.map, which consumes the whole iterable
+    up front - fatal at fma_large's 106k tracks). Results are yielded
+    strictly in submission order: memmap row order - the ground-truth
+    contract of the eval - is preserved exactly.
+    """
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = deque()
+        for x in items:
+            pending.append(ex.submit(fn, x))
+            while len(pending) >= inflight:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 def _capacity(loader_len: int, cfg, max_track_s: float = 40.0) -> int:
     frames = 1 + int(max_track_s * cfg["fs"]) // cfg["hop_len"]
     per_track = num_segments(frames, cfg["n_frames"], cfg.seg_hop_frames)
@@ -213,10 +242,13 @@ def create_dummy_db(
     cfg = pipeline.cfg
     writer = MemmapWriter(output_root_dir, fname, pipeline.d,
                           capacity=_capacity(len(loader), cfg))
-    for i, wave in enumerate(loader):
+
+    def _one(wave: np.ndarray) -> np.ndarray:
+        return pipeline.fingerprint_track(np.asarray(wave, np.float32))
+
+    for i, z in enumerate(_ordered_overlap(_one, loader)):
         if verbose and i % 100 == 0:
             print(f"=> dummy db [{i}/{len(loader)}]")
-        z = pipeline.fingerprint_track(np.asarray(wave, np.float32))
         if len(z):
             writer.append(z)
     return writer.close()
@@ -235,17 +267,29 @@ def create_fp_db(
     cap = _capacity(len(loader), cfg)
     w_db = MemmapWriter(output_root_dir, "db", pipeline.d, capacity=cap)
     w_q = MemmapWriter(output_root_dir, "query", pipeline.d, capacity=cap)
-    key = jax.random.key(seed)
 
-    n1 = n2 = 0
-    for i, wave in enumerate(loader):
-        wave = np.asarray(wave, np.float32)
-        if verbose and i % 10 == 0:
-            print(f"=> fp db [{i}/{len(loader)}]")
+    # Per-track corruption keys, precomputed in the exact sequence the
+    # old serial loop drew them (key, sub = split(key) per track) so the
+    # overlapped build is bit-identical to the sequential one.
+    key = jax.random.key(seed)
+    subs = []
+    for _ in range(len(loader)):
         key, sub = jax.random.split(key)
+        subs.append(sub)
+
+    def _pair(wave_sub) -> Tuple[np.ndarray, np.ndarray]:
+        wave, sub = wave_sub
+        wave = np.asarray(wave, np.float32)
         z_clean = pipeline.fingerprint_track(wave)
         corrupted = pipeline.corrupt_track(wave, banks, sub, ir_prob=ir_prob)
         z_dirty = pipeline.fingerprint_track(corrupted)
+        return z_clean, z_dirty
+
+    n1 = n2 = 0
+    pairs = _ordered_overlap(_pair, zip(loader, subs))
+    for i, (z_clean, z_dirty) in enumerate(pairs):
+        if verbose and i % 10 == 0:
+            print(f"=> fp db [{i}/{len(loader)}]")
         # row alignment: truncate to the common segment count
         s = min(len(z_clean), len(z_dirty))
         if s:
@@ -266,9 +310,12 @@ def create_db(
     generate.py:34-57)."""
     import os
 
+    def _one(wave: np.ndarray) -> np.ndarray:
+        return pipeline.fingerprint_track(np.asarray(wave, np.float32))
+
     outs = []
-    for i, wave in enumerate(loader):
-        outs.append(pipeline.fingerprint_track(np.asarray(wave, np.float32)))
+    for i, z in enumerate(_ordered_overlap(_one, loader)):
+        outs.append(z)
         if verbose and i % 10 == 0:
             print(f"=> generate [{i}/{len(loader)}]")
     fp = np.concatenate(outs, axis=0) if concat else np.array(outs, dtype=object)

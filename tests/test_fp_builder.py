@@ -129,3 +129,66 @@ def test_create_db_npy(pipe, rng, tmp_path):
     saved = np.load(str(tmp_path / "fingerprints.npy"))
     np.testing.assert_array_equal(fp, saved)
     assert saved.shape[1] == 128
+
+
+def test_ordered_overlap_preserves_order_and_bounds_inflight():
+    import threading
+    import time as _time
+
+    from grafp_tpu.fp.builder import _ordered_overlap
+
+    lock = threading.Lock()
+    live = {"now": 0, "peak": 0}
+
+    def work(x):
+        with lock:
+            live["now"] += 1
+            live["peak"] = max(live["peak"], live["now"])
+        _time.sleep(0.002 * (x % 3))  # ragged latencies scramble finish order
+        with lock:
+            live["now"] -= 1
+        return x * x
+
+    out = list(_ordered_overlap(work, range(50), workers=3, inflight=4))
+    assert out == [x * x for x in range(50)]  # submission order kept
+    assert live["peak"] <= 4
+
+
+def test_create_fp_db_key_sequence_matches_serial(pipe, rng, tmp_path):
+    """The overlapped pair builder must draw the exact per-track key
+    sequence of the old serial loop (key, sub = split(key) per track):
+    corruption - hence every query row - is bit-identical."""
+    import jax
+
+    key = jax.random.key(0)
+    expect = []
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        expect.append(np.asarray(jax.random.key_data(sub)))
+
+    from grafp_tpu.fp import builder as builder_mod
+
+    seen = []
+    orig = builder_mod.FingerprintPipeline.corrupt_track
+
+    def spy(self, wave, banks, k, ir_prob=1.0):
+        seen.append(np.asarray(jax.random.key_data(k)))
+        return orig(self, wave, banks, k, ir_prob=ir_prob)
+
+    cfg, p = pipe
+    from grafp_tpu.dsp.augment import AugmentBanks
+
+    banks = AugmentBanks.from_arrays(
+        noise_clips=[rng.randn(5000).astype(np.float32)],
+        ir_clips=[np.r_[1.0, rng.randn(15) * 0.1].astype(np.float32)],
+        noise_len=5000, ir_len=16,
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(builder_mod.FingerprintPipeline, "corrupt_track",
+                           spy):
+        create_fp_db(_fake_loader(rng, 3), p, banks, str(tmp_path),
+                     seed=0, verbose=False)
+    assert len(seen) == 3
+    for got, exp in zip(sorted(map(tuple, seen)), sorted(map(tuple, expect))):
+        assert got == exp
