@@ -56,6 +56,11 @@ def validate(epoch, query_loader, dummy_loader, banks, pipeline,
     from grafp_tpu.fp.builder import create_dummy_db, create_fp_db
     from grafp_tpu.retrieval.evaluate import eval_faiss
 
+    if every <= 0:
+        # extension over the reference contract: 0 disables validation
+        # entirely (incl. the epoch-1 gate) - smoke drives on 1-core
+        # hosts otherwise pay minutes of retrieval-path compiles
+        return None
     if epoch == 1 or epoch % every == 0:
         create_dummy_db(dummy_loader, pipeline, output_root_dir,
                         verbose=False)

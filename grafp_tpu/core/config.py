@@ -108,6 +108,12 @@ class Config:
 
     # numerics / performance
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
+    # int8-dynamic quantized matmuls for fingerprint EXTRACTION (the
+    # v5e MXU int8 path is 2x the bf16 rate). 'none' | 'int8'. Serving
+    # only: the train driver rejects it (round() has zero gradient),
+    # and the projector + pallas selection kernel stay bf16/f32
+    # (models/layers.py:int8_dynamic_matmul).
+    serve_quant: str = "none"
     bn_cross_replica: bool = False   # batch-norm stats across data shards
     knn_block_size: int = 0          # 0 = dense; >0 = blockwise distance
     # neighbor-selection strategy for dilation-1 MRConv blocks:

@@ -72,6 +72,7 @@ class MRConv(nn.Module):
     input_layout: str = "pair"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, rel, train: bool):
@@ -79,7 +80,7 @@ class MRConv(nn.Module):
             y = x                                          # (B, N, 2C)
             y = GroupedPointwiseConv(
                 self.out_features, groups=self.groups, dtype=self.dtype,
-                concat_interleaved=True,
+                concat_interleaved=True, quant=self.quant,
             )(y)
         else:
             # x, rel: (B, N, C); rel = max_k(x_nbr) - x
@@ -87,7 +88,8 @@ class MRConv(nn.Module):
             # interleave channels: [x_0, rel_0, x_1, rel_1, ...]
             y = jnp.stack([x, rel], axis=-1).reshape(b, n, 2 * c)
             y = GroupedPointwiseConv(
-                self.out_features, groups=self.groups, dtype=self.dtype
+                self.out_features, groups=self.groups, dtype=self.dtype,
+                quant=self.quant,
             )(y)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         return act_layer(self.act)(y)
@@ -102,6 +104,7 @@ class EdgeConv(nn.Module):
     groups: int = 4
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
@@ -111,7 +114,8 @@ class EdgeConv(nn.Module):
             [jnp.broadcast_to(ctr, nbrs.shape), nbrs - ctr], axis=-1
         )                                                  # (B, N, k, 2C)
         y = GroupedPointwiseConv(
-            self.out_features, groups=self.groups, dtype=self.dtype
+            self.out_features, groups=self.groups, dtype=self.dtype,
+            quant=self.quant,
         )(feats)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = act_layer(self.act)(y)
@@ -127,19 +131,21 @@ class SAGEConv(nn.Module):
     groups: int = 4
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
         c = x.shape[-1]
         h = GroupedPointwiseConv(c, groups=self.groups, dtype=self.dtype,
-                                 name="nn1")(x)
+                                 quant=self.quant, name="nn1")(x)
         h = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
                       name="nn1_bn")(h, train)
         h = act_layer(self.act)(h)
         agg = jnp.max(gather_neighbors(h, idx), axis=2)
         y = jnp.concatenate([x, agg], axis=-1)
         y = GroupedPointwiseConv(self.out_features, groups=self.groups,
-                                 dtype=self.dtype, name="nn2")(y)
+                                 dtype=self.dtype, quant=self.quant,
+                                 name="nn2")(y)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
                       name="nn2_bn")(y, train)
         return act_layer(self.act)(y)
@@ -153,6 +159,7 @@ class GINConv(nn.Module):
     groups: int = 4
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
@@ -160,7 +167,7 @@ class GINConv(nn.Module):
         agg = jnp.sum(gather_neighbors(x, idx), axis=2)
         y = (1.0 + eps) * x + agg
         y = GroupedPointwiseConv(self.out_features, groups=self.groups,
-                                 dtype=self.dtype)(y)
+                                 dtype=self.dtype, quant=self.quant)(y)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         return act_layer(self.act)(y)
 
@@ -179,16 +186,18 @@ class Grapher(nn.Module):
     knn_strategy: str = "auto"  # see ops/mrconv_neighbors.py
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False  # int8-dynamic matmuls (serving only)
 
     @nn.compact
     def __call__(self, x, train: bool):
         from grafp_tpu.ops.mrconv_neighbors import max_relative_neighbors
 
         shortcut = x
-        x = PointwiseConv(self.features, dtype=self.dtype, name="fc1")(x)
+        x = PointwiseConv(self.features, dtype=self.dtype, quant=self.quant,
+                          name="fc1")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(x, train)
         common = dict(act=self.act, axis_name=self.axis_name,
-                      dtype=self.dtype, name="gconv")
+                      dtype=self.dtype, quant=self.quant, name="gconv")
         strategy = self.knn_strategy
         if strategy == "auto":
             # measured on v5e (scripts/profile_train_strategies.py): the
@@ -236,7 +245,8 @@ class Grapher(nn.Module):
                     f"conv:{self.conv} is not supported"
                 )
             x = cls[self.conv](self.features * 2, **common)(x, idx, train)
-        x = PointwiseConv(self.features, dtype=self.dtype, name="fc2")(x)
+        x = PointwiseConv(self.features, dtype=self.dtype, quant=self.quant,
+                          name="fc2")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc2_bn")(x, train)
         x = DropPath(self.drop_path)(x, train)
         return x + shortcut
@@ -252,14 +262,17 @@ class FFN(nn.Module):
     drop_path: float = 0.0
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
-        y = PointwiseConv(self.hidden, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = PointwiseConv(self.hidden, use_bias=False, dtype=self.dtype,
+                          quant=self.quant, name="fc1")(x)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(y, train)
         y = act_layer(self.act)(y)
-        y = PointwiseConv(self.features, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = PointwiseConv(self.features, use_bias=False, dtype=self.dtype,
+                          quant=self.quant, name="fc2")(y)
         y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc2_bn")(y, train)
         y = DropPath(self.drop_path)(y, train)
         return y + shortcut
@@ -327,6 +340,7 @@ class GraphEncoder(nn.Module):
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False  # int8-dynamic serving path (see layers.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -335,7 +349,8 @@ class GraphEncoder(nn.Module):
 
         # Stem: pointwise conv (bias-free) + BN + LeakyReLU(0.2)
         # (graph_encoder.py:131-133).
-        x = PointwiseConv(channels[0], use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = PointwiseConv(channels[0], use_bias=False, dtype=self.dtype,
+                          quant=self.quant, name="stem")(x)
         x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="stem_bn")(x, train)
         x = nn.leaky_relu(x, negative_slope=0.2)
 
@@ -363,16 +378,19 @@ class GraphEncoder(nn.Module):
                     knn_block_rows=self.knn_block_rows,
                     knn_strategy=self.knn_strategy,
                     axis_name=self.axis_name, dtype=self.dtype,
+                    quant=self.quant,
                     name=f"block{idx}_grapher",
                 )(x, train)
                 x = ffn_cls(
                     ch, hidden=ch * 4, act=self.act, drop_path=dp,
                     axis_name=self.axis_name, dtype=self.dtype,
+                    quant=self.quant,
                     name=f"block{idx}_ffn",
                 )(x, train)
                 idx += 1
 
         # Projection head: 1x1 conv to emb_dims then mean over nodes
         # (graph_encoder.py:156,187-188).
-        x = PointwiseConv(self.emb_dims, dtype=self.dtype, name="proj")(x)
+        x = PointwiseConv(self.emb_dims, dtype=self.dtype, quant=self.quant,
+                          name="proj")(x)
         return jnp.mean(x, axis=1)

@@ -70,6 +70,50 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+def int8_dynamic_matmul(x, w):
+    """``x @ w`` on the MXU's int8 path (v5e: 394 TOPs = 2x the bf16
+    rate): symmetric per-output-channel weight scales + one dynamic
+    per-tensor activation scale, accumulated in int32 and dequantized in
+    f32. Weight quantization is O(C_in*C_out) per call - noise next to
+    the O(rows*C_in*C_out) matmul - so checkpoints stay full-precision
+    and the param tree is untouched. Serving-only: selection/aggregation
+    kernels and training stay bf16/f32."""
+    sw = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8)
+    sw = (sw / 127.0).astype(jnp.float32)
+    qw = jnp.round(w.astype(jnp.float32) / sw).astype(jnp.int8)
+    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8).astype(jnp.float32) / 127.0
+    qx = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                  -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        qx, qw,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (sx * sw)
+
+
+class _QuantDenseCore(nn.Module):
+    """Param-compatible stand-in for ``nn.Dense`` (same ``kernel``/
+    ``bias`` leaves; instantiated with name='Dense_0' so trained
+    checkpoints load unchanged) whose matmul runs int8-dynamic."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], self.features), jnp.float32)
+        y = int8_dynamic_matmul(x, w)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init,
+                           (self.features,), jnp.float32)
+            y = y + b
+        return y
+
+
 class PointwiseConv(nn.Module):
     """1x1 conv over node tensors == Dense on the channel axis.
     (Reference uses nn.Conv2d(C, C', 1) on (B, C, N, 1).)"""
@@ -78,10 +122,19 @@ class PointwiseConv(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = torch_default_init
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False  # int8-dynamic serving path (eval only)
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
+        if self.quant:
+            return _QuantDenseCore(
+                self.features,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                bias_init=torch_bias_init(c_in),
+                name="Dense_0",
+            )(x)
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
@@ -108,6 +161,7 @@ class GroupedPointwiseConv(nn.Module):
     # (B, N, 2C) interleave pass the pair layout needs).
     concat_interleaved: bool = False
     dtype: Optional[jnp.dtype] = None
+    quant: bool = False  # int8-dynamic serving path (eval only)
 
     @nn.compact
     def __call__(self, x):
@@ -123,7 +177,16 @@ class GroupedPointwiseConv(nn.Module):
             jnp.float32,
         )
         dt = self.dtype or x.dtype
-        if self.concat_interleaved:
+        if self.quant:
+            # the dense-expanded weight keeps per-output-channel scales
+            # exact (off-block zeros quantize to 0); grouped einsum at
+            # these tiny per-group widths underfills the MXU anyway, so
+            # the int8 path always goes through the dense form
+            dense = (grouped_as_concat_dense(w, c_in, self.features)
+                     if self.concat_interleaved else
+                     _grouped_as_blockdiag_dense(w, c_in, self.features))
+            y = int8_dynamic_matmul(x, dense)
+        elif self.concat_interleaved:
             dense = grouped_as_concat_dense(w, c_in, self.features)
             y = jnp.einsum(
                 "...i,io->...o", x.astype(dt), dense.astype(dt),
@@ -140,6 +203,16 @@ class GroupedPointwiseConv(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
         return y
+
+
+def _grouped_as_blockdiag_dense(w, c_in: int, c_out: int):
+    """(g, cig, cog) grouped weights -> the equivalent block-diagonal
+    dense (c_in, c_out) weight over the NATIVE consecutive-block channel
+    layout (no interleave permutation)."""
+    g, cig, cog = w.shape
+    bd = jnp.zeros((g, cig, g, cog), w.dtype)
+    bd = bd.at[jnp.arange(g), :, jnp.arange(g), :].set(w)
+    return bd.reshape(c_in, c_out)
 
 
 def grouped_as_concat_dense(w, c_in: int, c_out: int):

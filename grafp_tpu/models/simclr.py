@@ -75,6 +75,9 @@ def build_model(cfg, axis_name: Optional[str] = None) -> SimCLRModel:
     """Construct the flagship model from a Config (reference train.py:164:
     SimCLR(cfg, encoder=GraphEncoder(cfg, in_channels=n_filters, k=k)))."""
     dtype = jnp.dtype(cfg["compute_dtype"]) if cfg["compute_dtype"] else None
+    quant = str(cfg["serve_quant"] or "none").lower()
+    if quant not in ("none", "int8"):
+        raise ValueError(f"serve_quant must be 'none' or 'int8', got {quant!r}")
     if cfg["arch"] == "grafp":
         encoder = GraphEncoder(
             size=cfg["size"],
@@ -88,14 +91,22 @@ def build_model(cfg, axis_name: Optional[str] = None) -> SimCLRModel:
             remat=bool(cfg["remat"]),
             axis_name=axis_name if cfg["bn_cross_replica"] else None,
             dtype=dtype,
+            # the projector stays full-precision: quantization noise in
+            # the LAST linear feeds the fingerprint directly, and the
+            # backbone is where the FLOPs are (93%)
+            quant=quant == "int8",
         )
     elif cfg["arch"] == "ast":
         from grafp_tpu.models.ast import ASTEncoder
 
+        if quant == "int8":
+            raise NotImplementedError("serve_quant='int8' supports arch=grafp only")
         encoder = ASTEncoder(dtype=dtype)
     elif cfg["arch"] == "nafp":
         from grafp_tpu.models.nafp import NAFPEncoder
 
+        if quant == "int8":
+            raise NotImplementedError("serve_quant='int8' supports arch=grafp only")
         encoder = NAFPEncoder(dtype=dtype)
     else:
         raise NotImplementedError(f"arch {cfg['arch']}")

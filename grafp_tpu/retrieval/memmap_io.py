@@ -30,6 +30,15 @@ def load_memmap_data(
         return data_shape
     if append_extra_length:
         data_shape[0] += append_extra_length
+    if int(data_shape[0]) == 0:
+        # np.memmap would raise a cryptic "cannot mmap an empty file";
+        # an empty db means the builder saw zero usable tracks (e.g. a
+        # degenerate split at toy scale, or every track under the
+        # silence threshold)
+        raise ValueError(
+            f"fingerprint db '{path_data}' is empty (0 rows) - the "
+            f"builder produced no segments; check the dataset split "
+            f"sizes and silence threshold")
     data = np.memmap(
         path_data, dtype="float32", mode="r+",
         shape=(int(data_shape[0]), int(data_shape[1])),

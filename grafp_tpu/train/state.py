@@ -64,6 +64,12 @@ def create_train_state(
     model, cfg, rng: jax.Array, steps_per_epoch: int = 1
 ) -> TrainState:
     """Initialize params/batch_stats with a dummy spectrogram batch."""
+    if str(cfg["serve_quant"] or "none").lower() != "none":
+        # int8-dynamic matmuls round() activations - zero gradient
+        # almost everywhere, so training would silently not learn
+        raise ValueError(
+            "serve_quant is extraction-only; unset it for training "
+            "(the int8 round() has zero gradient)")
     dummy = jnp.zeros((2, cfg["n_mels"], cfg["n_frames"]), jnp.float32)
     variables = model.init({"params": rng}, dummy, False)
     params = variables["params"]
