@@ -187,17 +187,19 @@ class Grapher(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     quant: bool = False  # int8-dynamic matmuls (serving only)
+    # whole-block serving kernel: 'auto' | 'on' | 'off'. Measured on
+    # v5e (scripts/profile_fused_grapher.py, B=128 bf16): the fused
+    # block LOSES at every stage shape (0.91-0.95x) - Mosaic's
+    # per-program matmuls + the lost XLA epilogue pipelining cost more
+    # than the saved boundary HBM traffic - so 'auto' resolves to OFF.
+    # 'on' remains for future toolchains/hardware and for the
+    # equivalence tests (tests/test_fused_grapher.py).
+    fuse_serving: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool):
         from grafp_tpu.ops.mrconv_neighbors import max_relative_neighbors
 
-        shortcut = x
-        x = PointwiseConv(self.features, dtype=self.dtype, quant=self.quant,
-                          name="fc1")(x)
-        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(x, train)
-        common = dict(act=self.act, axis_name=self.axis_name,
-                      dtype=self.dtype, quant=self.quant, name="gconv")
         strategy = self.knn_strategy
         if strategy == "auto":
             # measured on v5e (scripts/profile_train_strategies.py): the
@@ -208,6 +210,54 @@ class Grapher(nn.Module):
                 strategy = "pallas"
             else:
                 strategy = "onehot"
+
+        # Whole-block serving kernel: in eval the three BNs are plain
+        # affines, so fc1+BN -> kNN select + MRConv conv+BN+relu ->
+        # fc2+BN -> residual all fold into ONE pallas program whose HBM
+        # traffic is x in / x out (round-3 per-stage profile: the
+        # XLA-side passes around the frontend kernel held stage 1 at
+        # 28% MFU). Training keeps the unfused custom-VJP path (live
+        # batch stats, gradients).
+        fused = (not train and self.conv == "mr" and self.dilation == 1
+                 and strategy == "pallas" and self.act == "relu"
+                 and not self.quant and self.fuse_serving == "on")
+        if fused:
+            from grafp_tpu.ops.pallas_knn import (
+                grapher_block_pallas,
+                grapher_block_supported,
+            )
+
+            dt = jnp.dtype(self.dtype) if self.dtype else x.dtype
+            fused = grapher_block_supported(x.shape[1], self.features, dt)
+        if fused:
+            from grafp_tpu.models.layers import (
+                BatchNormAffine,
+                MRConvParams,
+                PointwiseConvParams,
+                grouped_as_concat_dense,
+            )
+
+            c = self.features
+            w1, b1 = PointwiseConvParams(c, name="fc1")(x.shape[-1])
+            s1, t1 = BatchNormAffine(name="fc1_bn")(c)
+            wg, bg, sg, tg = MRConvParams(2 * c, name="gconv")(2 * c)
+            w2, b2 = PointwiseConvParams(c, name="fc2")(2 * c)
+            s2, t2 = BatchNormAffine(name="fc2_bn")(c)
+            wgd = grouped_as_concat_dense(wg, 2 * c, 2 * c)
+            return grapher_block_pallas(
+                x.astype(dt), self.k,
+                (w1 * s1).astype(dt), (b1 * s1 + t1)[None],
+                (wgd * sg).astype(dt), (bg * sg + tg)[None],
+                (w2 * s2).astype(dt), (b2 * s2 + t2)[None],
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        shortcut = x
+        x = PointwiseConv(self.features, dtype=self.dtype, quant=self.quant,
+                          name="fc1")(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="fc1_bn")(x, train)
+        common = dict(act=self.act, axis_name=self.axis_name,
+                      dtype=self.dtype, quant=self.quant, name="gconv")
         if self.conv == "mr":
             # fast path: MRConv only consumes the neighbor-feature max
             if self.dilation > 1 or strategy == "exact":
@@ -341,6 +391,7 @@ class GraphEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     quant: bool = False  # int8-dynamic serving path (see layers.py)
+    fuse_serving: str = "auto"  # whole-block serving kernel (see Grapher)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -378,7 +429,7 @@ class GraphEncoder(nn.Module):
                     knn_block_rows=self.knn_block_rows,
                     knn_strategy=self.knn_strategy,
                     axis_name=self.axis_name, dtype=self.dtype,
-                    quant=self.quant,
+                    quant=self.quant, fuse_serving=self.fuse_serving,
                     name=f"block{idx}_grapher",
                 )(x, train)
                 x = ffn_cls(

@@ -234,6 +234,119 @@ def grouped_as_concat_dense(w, c_in: int, c_out: int):
     return bd[perm]
 
 
+# --- param mirrors for the fused-Grapher serving kernel -------------------
+#
+# grapher_block_pallas (ops/pallas_knn.py) consumes the block's weights
+# directly, so the module must DECLARE the exact same param/variable
+# tree as the unfused path without running the unfused ops. Each mirror
+# reproduces its counterpart's child names, shapes and initializers
+# leaf-for-leaf (verified against trained checkpoints in
+# tests/test_fused_grapher.py), so checkpoints load unchanged and
+# init() is path-independent.
+
+
+class _DenseParamsCore(nn.Module):
+    """Mirror of nn.Dense's params; instantiate with name='Dense_0'."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        w = self.param("kernel", self.kernel_init,
+                       (c_in, self.features), jnp.float32)
+        b = (self.param("bias", self.bias_init, (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return w, b
+
+
+class PointwiseConvParams(nn.Module):
+    """Param mirror of PointwiseConv: returns (kernel, bias)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = torch_default_init
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        return _DenseParamsCore(
+            self.features, use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=torch_bias_init(c_in), name="Dense_0",
+        )(c_in)
+
+
+class GroupedPointwiseConvParams(nn.Module):
+    """Param mirror of GroupedPointwiseConv: returns ((g, cig, cog)
+    kernel, bias)."""
+
+    features: int
+    groups: int = 4
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        g = self.groups
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (g, c_in // g, self.features // g),
+            jnp.float32,
+        )
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return w, b
+
+
+class _BNParamsCore(nn.Module):
+    """Mirror of nn.BatchNorm's params/stats; instantiate with
+    name='BatchNorm_0'. Returns the eval-mode (scale, shift) affine."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        s = scale * jax.lax.rsqrt(var.value + 1e-5)
+        return s, bias - mean.value * s
+
+
+class BatchNormAffine(nn.Module):
+    """Param mirror of layers.BatchNorm (wrapper -> nn.BatchNorm child
+    'BatchNorm_0'): returns eval-mode (s, t) with BN(x) == x*s + t."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        return _BNParamsCore(features, name="BatchNorm_0")()
+
+
+class MRConvParams(nn.Module):
+    """Param mirror of MRConv (gconv): returns (grouped kernel, bias,
+    bn_s, bn_t). Child names match MRConv's auto-named
+    GroupedPointwiseConv_0 / BatchNorm_0."""
+
+    out_features: int
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        w, b = GroupedPointwiseConvParams(
+            self.out_features, groups=self.groups,
+            name="GroupedPointwiseConv_0")(c_in)
+        s, t = BatchNormAffine(name="BatchNorm_0")(self.out_features)
+        return w, b, s, t
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth. The reference wires DropPath but its
     ramp never engages (graph_encoder.py:139-151 never increments the

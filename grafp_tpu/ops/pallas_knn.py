@@ -74,7 +74,7 @@ _MAX_TILE_F32 = 512
 # but measured 3.4 us with one item per program. Pack items so each
 # program sees ~_PACK_ROWS query rows, bounded by a VMEM estimate.
 _PACK_ROWS = 1024
-_VMEM_ITEM_BUDGET = 10 * (1 << 20)
+_VMEM_ITEM_BUDGET = 12 * (1 << 20)
 
 
 def _tile_rows(n: int, dtype) -> int:
@@ -89,10 +89,20 @@ def _items_per_block(b: int, n: int, c: int, k: int, dtype,
                      backward: bool) -> int:
     """Items packed per kernel program: ~_PACK_ROWS rows per program,
     capped so the per-item VMEM working set fits the scoped budget.
-    Packing only applies when one program covers a full item (t == n)."""
+    Packing only applies when one program covers a full item (t == n).
+
+    The per-item estimate is itemized (round-3 fix): the old lumped
+    (4k+8)*n*c*4 figure was ~3x the real working set, which silently
+    disabled packing at the small-N stages - where per-program fixed
+    cost (~1-2 us vs ~0.7 us of MXU work at N=256) is exactly what
+    packing exists to amortize.
+      f32: scores 4nn, feats k, rel 1, row norms 2   (x n*c*4)
+      dtype: in block x2 (double-buffered), out 2C x2, concat/diff ~2
+    """
     ms = 2 if dtype == jnp.bfloat16 else 4
-    # scores f32 + k masks + (feats stack, rel/acc, in/out blocks) rows
-    per = 4 * n * n + k * ms * n * n + (4 * k + 8) * n * c * 4
+    per = ((4 + k * ms) * n * n            # scores + k masks
+           + (k + 3) * n * c * 4           # feats stack, rel, norms
+           + 8 * n * c * ms)               # in/out blocks (db), temps
     if backward:
         per += (2 * k + 2) * n * c * 4
     bb = max(1, min(_PACK_ROWS // n, _VMEM_ITEM_BUDGET // per))
@@ -472,3 +482,115 @@ def _concat_bwd(k, interpret, x, g):
 
 
 mrconv_concat_pallas.defvjp(_concat_fwd, _concat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-Grapher serving kernel: fc1+BN -> kNN+MRConv+BN+relu -> fc2+BN -> +x
+# ---------------------------------------------------------------------------
+#
+# Round-3 per-stage profile (scripts/profile_forward_stages.py, v5e,
+# B=128): stage 1 runs at 28% MFU and stage 3 at 61% even with the
+# fused MRConv frontend - the time is in the XLA-side fc/BN/conv passes
+# AROUND the kernel (every pallas boundary forces the (N, 2C) concat
+# tensor and its conv/BN/relu/fc2 successors through HBM). For eval the
+# three BatchNorms are plain affines, so the ENTIRE Grapher block
+# (models/gnn.py:Grapher, reference torch_vertex.py:142-194) folds into
+# one kernel whose only HBM traffic is x in / out (N, C) out - one read
+# and one write per block instead of ~6 passes.
+#
+# The caller pre-folds each BN into its producing linear (w*s, b*s+t -
+# same algebra as models/fold_bn.py) and passes bf16 weights + f32 bias
+# rows. Inside the kernel every matmul accumulates in f32 on the MXU;
+# x1 is cast back to the input dtype before key normalization so
+# neighbor selection sees (numerically) the same features as the
+# unfused path. Serving only: there is NO VJP (training keeps the
+# mrconv_concat_pallas custom-VJP path with live batch stats).
+
+
+def _grapher_kernel(k: int, bb: int, n: int, x_ref, w1_ref, c1_ref, wg_ref,
+                    cg_ref, w2_ref, c2_ref, out_ref):
+    w1, wg, w2 = w1_ref[...], wg_ref[...], w2_ref[...]
+    c1, cg, c2 = c1_ref[...], cg_ref[...], c2_ref[...]
+    c = w1.shape[0]
+    # the three fc/conv matmuls run once over ALL packed items' rows
+    # (bb*N) - per-item matmuls at these row counts are MXU
+    # pipeline-latency bound; only the kNN selection is per-item
+    xf = x_ref[...].reshape(bb * n, c)                     # (bb*N, C)
+    # fc1 + folded BN (f32 accumulate, then the input dtype - the
+    # unfused path's fc1/BN also emit the compute dtype)
+    x1 = jnp.dot(xf, w1, preferred_element_type=jnp.float32) + c1
+    x1 = x1.astype(xf.dtype)                               # (bb*N, C)
+    mm_dtype = xf.dtype if xf.dtype == jnp.bfloat16 else jnp.float32
+    rels = []
+    for ii in range(bb):                                   # static unroll
+        x1i = x1[ii * n:(ii + 1) * n]                      # (N, C)
+        xn = _norm_rows_f32(x1i).astype(mm_dtype)
+        rels.append(_one_forward(k, xn, xn, x1i))          # (N, C) f32
+    rel = jnp.concatenate(rels, axis=0) if bb > 1 else rels[0]
+    concat = jnp.concatenate([x1, rel.astype(xf.dtype) - x1],
+                             axis=-1)                      # (bb*N, 2C)
+    # MRConv grouped conv (dense-expanded, interleave absorbed) +
+    # folded BN + relu
+    g = jnp.dot(concat, wg, preferred_element_type=jnp.float32) + cg
+    g = jnp.maximum(g, 0.0).astype(xf.dtype)               # (bb*N, 2C)
+    # fc2 + folded BN + residual
+    y = jnp.dot(g, w2, preferred_element_type=jnp.float32) + c2
+    out = (y + xf.astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[...] = out.reshape(bb, n, c)
+
+
+def grapher_block_supported(n: int, c: int, dtype) -> bool:
+    """The fused block needs one row tile per item (fc1/normalize run on
+    the full key set inside one program) and N >= k rows."""
+    return _tile_rows(n, dtype) == n
+
+
+def _grapher_items_per_block(b: int, n: int, c: int, k: int, dtype) -> int:
+    ms = 2 if dtype == jnp.bfloat16 else 4
+    # scores f32 + k masks + feats stack + x/x1/xn/concat/g/out rows
+    per = 4 * n * n + k * ms * n * n + (4 * k + 24) * n * c * 4
+    w_bytes = 7 * c * c * ms + 16 * c
+    bb = max(1, min(_PACK_ROWS // n,
+                    max(_VMEM_ITEM_BUDGET - w_bytes, per) // per))
+    while b % bb:
+        bb -= 1
+    return max(bb, 1)
+
+
+def grapher_block_pallas(x: jnp.ndarray, k: int,
+                         w1, c1, wg, cg, w2, c2,
+                         interpret: bool = False) -> jnp.ndarray:
+    """One Grapher block, eval mode: (B, N, C) -> (B, N, C).
+
+    w1 (C, C), wg (2C, 2C), w2 (2C, C): BN-folded matmul weights in the
+    compute dtype; c1 (1, C), cg (1, 2C), c2 (1, C): f32 bias rows.
+    No VJP - differentiating through this raises; training uses the
+    unfused path.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    assert n >= k, f"pallas kNN requires N >= k (got N={n}, k={k})"
+    assert grapher_block_supported(n, c, x.dtype), (n, c, x.dtype)
+    bb = _grapher_items_per_block(b, n, c, k, x.dtype)
+    kern = functools.partial(_grapher_kernel, k, bb, n)
+    full = lambda i: (0, 0)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, 2 * c), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, c), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, w1, c1, wg, cg, w2, c2)
