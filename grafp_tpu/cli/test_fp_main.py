@@ -211,6 +211,7 @@ def main(argv=None):
                 else " ".join(map(str, test_seq_len)),
                 index_type=index_type, nogpu=True,
                 mesh=db_mesh_from_config(cfg),
+                scan_topk=cfg.scan_topk, scan_recall=cfg.scan_recall,
             )
             text = f"{args.text}_{epoch}"
             label = epoch if isinstance(epoch, int) else 0

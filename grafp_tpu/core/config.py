@@ -134,6 +134,15 @@ class Config:
     n_centroids: int = 64
     nprobe: int = 20
     k_probe: int = 20
+    # per-block top-k inside the index scan: 'exact' (lax.top_k,
+    # FAISS-parity ranking) | 'approx' (lax.approx_max_k at scan_recall
+    # per-neighbor recall). The block scan is top-k-bound on v5e
+    # (exact top_k over a (1024, 1M) block ~75 ms vs ~8 ms matmul);
+    # approx measures 11.2x end-to-end at 7M rows
+    # (scripts/profile_scan_dtype.py). Exact stays the default for
+    # reference parity; flip for large-DB serving.
+    scan_topk: str = "exact"
+    scan_recall: float = 0.99
 
     # anything in the YAML we do not model explicitly
     extras: Dict[str, Any] = field(default_factory=dict)

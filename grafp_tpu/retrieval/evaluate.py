@@ -288,6 +288,8 @@ def eval_faiss(
     n_centroids: int = 64,
     verbose: bool = True,
     mesh=None,
+    scan_topk: str = "exact",
+    scan_recall: float = 0.99,
 ) -> np.ndarray:
     """Drop-in equivalent of reference eval.py:170-332 (the name is kept
     for CLI parity; the engine is the on-TPU index family, not FAISS).
@@ -296,7 +298,13 @@ def eval_faiss(
     to get_index so the 'l2' mode shards the database rows across chips
     (per-chip distance matmul + local top-k, ICI all-gather merge). This
     is the multi-chip path of the reference's eval contract
-    (eval.py:206-216); identical results to the single-chip index."""
+    (eval.py:206-216); identical results to the single-chip index.
+
+    scan_topk/scan_recall: per-block candidate selection inside the
+    index scan - 'exact' (default, FAISS-parity ranking) or 'approx'
+    (lax.approx_max_k; the scan is top-k-bound on v5e, approx is ~11x
+    faster at ~0.99 per-neighbor recall - see
+    retrieval/search.py:masked_scan_search)."""
     if isinstance(test_seq_len, str):
         test_seq_len = np.asarray(list(map(int, test_seq_len.split())))
     else:
@@ -311,7 +319,8 @@ def eval_faiss(
     )
 
     index = get_index(index_type, dummy_db, dummy_db.shape, (not nogpu),
-                      max_train, n_centroids=n_centroids, mesh=mesh)
+                      max_train, n_centroids=n_centroids, mesh=mesh,
+                      scan_topk=scan_topk, scan_recall=scan_recall)
     t0 = time.time()
     index.add(dummy_db)
     index.add(db)

@@ -74,6 +74,12 @@ class _BlockScanSearcher:
         self.nprobe = 20
         self.ntotal = 0
         self.is_trained = True
+        # per-block candidate selection: 'exact' (lax.top_k, FAISS-parity
+        # ranking) or 'approx' (lax.approx_max_k at scan_recall per
+        # neighbor) - the scan is top-k-bound on v5e, approx is ~11x
+        # (see masked_scan_search docstring / profile_scan_dtype.py)
+        self.scan_topk = "exact"
+        self.scan_recall = 0.99
 
     # --- subclass hooks -------------------------------------------------
     def _payload(self):
@@ -118,6 +124,7 @@ class _BlockScanSearcher:
             qj, rows, codebooks, cells, member,
             jnp.int32(self.ntotal), k, block,
             has_cells=has_cells, has_codes=has_codes,
+            scan_topk=self.scan_topk, recall_target=self.scan_recall,
         )
         d = np.asarray(d)[:nq]
         i = np.asarray(i)[:nq]
@@ -422,6 +429,8 @@ def get_index(
     max_nitem_train: float = 2e7,
     n_centroids: int = 64,
     mesh=None,                     # multi-chip: shard 'l2' over the db axis
+    scan_topk: str = "exact",      # per-block selection: 'exact' | 'approx'
+    scan_recall: float = 0.99,     # approx_max_k per-neighbor recall target
 ):
     """Factory with the reference's contract (eval.py:9-123): build,
     train on (subsampled) data, set nprobe=20, return."""
@@ -467,4 +476,7 @@ def get_index(
         index.train(np.asarray(train_data))
     print("Elapsed time: {:.2f} seconds.".format(time.time() - start))
     index.nprobe = 20
+    if isinstance(index, _BlockScanSearcher):
+        index.scan_topk = scan_topk
+        index.scan_recall = scan_recall
     return index

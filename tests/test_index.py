@@ -139,6 +139,41 @@ def test_factory_contract():
         get_index("ivfpq-ondisk", db, db.shape)
 
 
+def test_scan_topk_approx(corpus, monkeypatch):
+    """scan_topk='approx' threads factory -> index -> masked_scan_search
+    and, on the CPU backend (where approx_max_k lowers to exact
+    selection), reproduces the exact results bit-for-bit - including
+    across a forced multi-block merge (the cross-block merge stays
+    exact by construction)."""
+    db, q, gt = corpus
+    import grafp_tpu.retrieval.index as mod
+
+    exact = IndexFlat(32)
+    exact.add(db)
+    de, ie = exact.search(q, 5)
+
+    idx = get_index("l2", db, db.shape, use_gpu=False, scan_topk="approx",
+                    scan_recall=0.95)
+    assert idx.scan_topk == "approx" and idx.scan_recall == 0.95
+    idx.add(db)
+    d, i = idx.search(q, 5)
+    np.testing.assert_array_equal(i, ie)
+    np.testing.assert_allclose(d, de, rtol=1e-5, atol=1e-6)
+
+    monkeypatch.setattr(mod, "_DB_BLOCK", 300)  # multi-block running merge
+    blk = IndexFlat(32)
+    blk.scan_topk = "approx"
+    blk.add(db)
+    d2, i2 = blk.search(q, 5)
+    np.testing.assert_array_equal(i2, ie)
+
+    # IVF path: probe masking composes with approx selection
+    ivf = get_index("ivf", db, db.shape, use_gpu=False, scan_topk="approx")
+    ivf.add(db)
+    _, ii = ivf.search(q, 10)
+    assert float(np.mean(ii[:, 0] == gt)) >= 0.9
+
+
 def test_sharded_flat_matches_flat(corpus):
     from grafp_tpu.core.mesh import make_mesh
     from grafp_tpu.retrieval.index import IndexFlatSharded
