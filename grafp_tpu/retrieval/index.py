@@ -196,7 +196,9 @@ class IndexFlatSharded(IndexFlat):
             self._dev_rows = jax.device_put(rows, db_sharding(self.mesh))
         qj = jnp.asarray(np.asarray(q, np.float32))
         d, i = exact_topk_sharded(qj, self._dev_rows, k, self.mesh,
-                                  m_valid=self._true_rows)
+                                  m_valid=self._true_rows,
+                                  scan_topk=self.scan_topk,
+                                  recall_target=self.scan_recall)
         d = np.asarray(d)
         i = np.where(np.isinf(d), -1, np.asarray(i))
         return d, i

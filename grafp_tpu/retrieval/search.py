@@ -48,12 +48,23 @@ def _topk_dist(
     metric: str = "l2",
     compute_dtype=jnp.float32,
     n_valid: Optional[jnp.ndarray] = None,
+    scan_topk: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense block scorer. Returns (scores, ids); scores are squared-L2
     distances (ascending-best) for 'l2', inner products (descending-best
     returned as-is) for 'ip'. Rows at index >= n_valid (zero padding)
     are masked to worst-possible BEFORE selection - masking after top-k
-    would let pad rows crowd real candidates out of the block top-k."""
+    would let pad rows crowd real candidates out of the block top-k.
+
+    scan_topk='approx' selects with lax.approx_max_k at recall_target
+    per neighbor instead of exact lax.top_k - selection, not the
+    matmul, dominates block scoring on v5e (masked_scan_search note)."""
+    def _select(maxables, k):
+        if scan_topk == "approx" and k < maxables.shape[-1]:
+            return jax.lax.approx_max_k(maxables, k,
+                                        recall_target=recall_target)
+        return jax.lax.top_k(maxables, k)
     inner = jnp.matmul(
         q.astype(compute_dtype), db.T.astype(compute_dtype),
         preferred_element_type=jnp.float32,
@@ -64,14 +75,14 @@ def _topk_dist(
     if metric == "ip":
         if pad_mask is not None:
             inner = jnp.where(pad_mask, -jnp.inf, inner)
-        s, i = jax.lax.top_k(inner, k)
+        s, i = _select(inner, k)
         return s, i
     if db_sq is None:
         db_sq = _sq_norms(db)
     dist = _sq_norms(q)[:, None] - 2.0 * inner + db_sq[None, :]
     if pad_mask is not None:
         dist = jnp.where(pad_mask, jnp.inf, dist)
-    s, i = jax.lax.top_k(-dist, k)
+    s, i = _select(-dist, k)
     return -s, i
 
 
@@ -276,6 +287,8 @@ def exact_topk_sharded(
     mesh: Mesh,
     metric: str = "l2",
     m_valid: Optional[int] = None,
+    scan_topk: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k with the DB sharded over the mesh 'db' axis.
 
@@ -283,6 +296,10 @@ def exact_topk_sharded(
     merged global top-k. Results identical to exact_topk (up to ties).
     m_valid: true row count when the caller pre-padded db (padded rows
     are masked before selection).
+
+    scan_topk='approx' applies lax.approx_max_k to the LOCAL per-shard
+    selection (where the top-k-bound cost is, scaling with shard rows);
+    the (ndev*k)-candidate ICI merge stays exact either way.
     """
     ndev = mesh.shape[DB_AXIS]
     m, d = db.shape
@@ -298,7 +315,8 @@ def exact_topk_sharded(
         base = sidx * shard
         # pre-mask this shard's padded tail rows before the local top-k
         s, i = _topk_dist(qrep, db_shard, kk, metric=metric,
-                          n_valid=m_valid - base)
+                          n_valid=m_valid - base, scan_topk=scan_topk,
+                          recall_target=recall_target)
         gids = i + base
         all_s = jax.lax.all_gather(s, DB_AXIS, axis=1, tiled=True)   # (Q, ndev*kk)
         all_i = jax.lax.all_gather(gids, DB_AXIS, axis=1, tiled=True)

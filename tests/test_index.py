@@ -173,6 +173,17 @@ def test_scan_topk_approx(corpus, monkeypatch):
     _, ii = ivf.search(q, 10)
     assert float(np.mean(ii[:, 0] == gt)) >= 0.9
 
+    # sharded path: approx applies to the LOCAL per-shard selection,
+    # the ICI candidate merge stays exact
+    from grafp_tpu.core.mesh import make_mesh
+    from grafp_tpu.retrieval.index import IndexFlatSharded
+
+    sh = IndexFlatSharded(32, make_mesh(n_data=1, n_db=8))
+    sh.scan_topk = "approx"
+    sh.add(db)
+    ds, is_ = sh.search(q, 5)
+    np.testing.assert_array_equal(is_, ie)
+
 
 def test_sharded_flat_matches_flat(corpus):
     from grafp_tpu.core.mesh import make_mesh
