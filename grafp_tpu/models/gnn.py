@@ -228,7 +228,8 @@ class Grapher(nn.Module):
             )
 
             dt = jnp.dtype(self.dtype) if self.dtype else x.dtype
-            fused = grapher_block_supported(x.shape[1], self.features, dt)
+            fused = grapher_block_supported(x.shape[1], self.features, dt,
+                                            k=self.k)
         if fused:
             from grafp_tpu.models.layers import (
                 BatchNormAffine,

@@ -101,16 +101,22 @@ class _QuantDenseCore(nn.Module):
     use_bias: bool
     kernel_init: Callable
     bias_init: Callable
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         w = self.param("kernel", self.kernel_init,
                        (x.shape[-1], self.features), jnp.float32)
-        y = int8_dynamic_matmul(x, w)
+        # cast the f32 dequant back to the layer compute dtype before the
+        # bias add: with compute_dtype=bfloat16 an f32 emission doubles
+        # inter-op HBM traffic vs the bf16 baseline (ADVICE r3 — note
+        # this if the 0.927x on-chip int8 verdict is ever revisited)
+        dt = self.dtype or x.dtype
+        y = int8_dynamic_matmul(x, w).astype(dt)
         if self.use_bias:
             b = self.param("bias", self.bias_init,
                            (self.features,), jnp.float32)
-            y = y + b
+            y = y + b.astype(dt)
         return y
 
 
@@ -133,6 +139,7 @@ class PointwiseConv(nn.Module):
                 use_bias=self.use_bias,
                 kernel_init=self.kernel_init,
                 bias_init=torch_bias_init(c_in),
+                dtype=self.dtype,
                 name="Dense_0",
             )(x)
         return nn.Dense(
@@ -185,7 +192,9 @@ class GroupedPointwiseConv(nn.Module):
             dense = (grouped_as_concat_dense(w, c_in, self.features)
                      if self.concat_interleaved else
                      _grouped_as_blockdiag_dense(w, c_in, self.features))
-            y = int8_dynamic_matmul(x, dense)
+            # cast the f32 dequant back to the compute dtype (ADVICE r3:
+            # f32 emissions double inter-op HBM traffic under bf16)
+            y = int8_dynamic_matmul(x, dense).astype(dt)
         elif self.concat_interleaved:
             dense = grouped_as_concat_dense(w, c_in, self.features)
             y = jnp.einsum(
@@ -201,7 +210,7 @@ class GroupedPointwiseConv(nn.Module):
             y = y.reshape(*x.shape[:-1], self.features)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + b
+            y = y + b.astype(y.dtype)  # no-op f32 path; keeps quant bf16
         return y
 
 

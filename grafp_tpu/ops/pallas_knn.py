@@ -539,17 +539,37 @@ def _grapher_kernel(k: int, bb: int, n: int, x_ref, w1_ref, c1_ref, wg_ref,
     out_ref[...] = out.reshape(bb, n, c)
 
 
-def grapher_block_supported(n: int, c: int, dtype) -> bool:
-    """The fused block needs one row tile per item (fc1/normalize run on
-    the full key set inside one program) and N >= k rows."""
-    return _tile_rows(n, dtype) == n
-
-
-def _grapher_items_per_block(b: int, n: int, c: int, k: int, dtype) -> int:
+def _grapher_vmem_estimate(n: int, c: int, k: int, dtype) -> tuple[int, int]:
+    """(per-item working set, weight-block bytes) for the fused block."""
     ms = 2 if dtype == jnp.bfloat16 else 4
     # scores f32 + k masks + feats stack + x/x1/xn/concat/g/out rows
     per = 4 * n * n + k * ms * n * n + (4 * k + 24) * n * c * 4
     w_bytes = 7 * c * c * ms + 16 * c
+    return per, w_bytes
+
+
+# Support guard for the fused Grapher block, in ESTIMATE scale (the
+# itemized estimate overstates Mosaic's true working set by ~25%): the
+# largest measured-good shape is stage 1 (N=1024, C=64, k=3, bf16) at
+# ~20.0 MB estimated vs the 16 MB scoped VMEM it demonstrably fits.
+# Shapes estimating past this envelope (e.g. C>=1024 stems) fall back
+# to the unfused path instead of failing at Mosaic compile time.
+_GRAPHER_VMEM_GUARD = 21 * (1 << 20)
+
+
+def grapher_block_supported(n: int, c: int, dtype, k: int = 3) -> bool:
+    """The fused block needs one row tile per item (fc1/normalize run on
+    the full key set inside one program), N >= k rows, and ONE item's
+    working set plus the 7*C^2 weight blocks inside the calibrated VMEM
+    envelope — otherwise bb=1 would still fail at Mosaic compile time
+    instead of falling back to the unfused path (ADVICE r3)."""
+    per, w_bytes = _grapher_vmem_estimate(n, c, k, dtype)
+    return (_tile_rows(n, dtype) == n
+            and per + w_bytes <= _GRAPHER_VMEM_GUARD)
+
+
+def _grapher_items_per_block(b: int, n: int, c: int, k: int, dtype) -> int:
+    per, w_bytes = _grapher_vmem_estimate(n, c, k, dtype)
     bb = max(1, min(_PACK_ROWS // n,
                     max(_VMEM_ITEM_BUDGET - w_bytes, per) // per))
     while b % bb:
@@ -572,7 +592,7 @@ def grapher_block_pallas(x: jnp.ndarray, k: int,
 
     b, n, c = x.shape
     assert n >= k, f"pallas kNN requires N >= k (got N={n}, k={k})"
-    assert grapher_block_supported(n, c, x.dtype), (n, c, x.dtype)
+    assert grapher_block_supported(n, c, x.dtype, k=k), (n, c, k, x.dtype)
     bb = _grapher_items_per_block(b, n, c, k, x.dtype)
     kern = functools.partial(_grapher_kernel, k, bb, n)
     full = lambda i: (0, 0)

@@ -147,42 +147,24 @@ def exact_topk(
     return _topk_dist(q, db, k, metric=metric)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "block", "metric", "has_cells", "has_codes",
-                     "scan_topk", "recall_target"),
-)
-def masked_scan_search(
+def _masked_scan_local(
     q: jnp.ndarray,           # (Q, d) float32
-    rows_or_codes: jnp.ndarray,  # (Mp, d) rows or (Mp, n_sub) uint8 codes
+    rows_or_codes: jnp.ndarray,  # (Ml, d) rows or (Ml, n_sub) uint8 codes
     codebooks,                # (n_sub, ksub, dsub) when has_codes
-    cells,                    # (Mp,) int32 cell ids (when has_cells)
+    cells,                    # (Ml,) int32 cell ids (when has_cells)
     member,                   # (Q, nlist) bool probe membership
-    m_valid: jnp.ndarray,     # scalar: true row count
+    id_base,                  # scalar: global row id of local row 0
+    m_valid: jnp.ndarray,     # scalar: true GLOBAL row count
     k: int,
     block: int,
-    metric: str = "l2",
     has_cells: bool = False,
     has_codes: bool = False,
     scan_topk: str = "exact",
     recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One compiled scan over DB blocks: (decode ->) distance matmul ->
-    IVF probe masking -> running top-k merge. The unified engine behind
-    the index family (a Python block loop would pay one remote dispatch
-    per op per block on this TPU transport).
-
-    scan_topk: per-block candidate selection. 'exact' = lax.top_k
-    (FAISS-parity ranking, the default). 'approx' = lax.approx_max_k
-    (TPU partial-reduction top-k, Chern et al. 2022) at recall_target
-    per neighbor. The block scan is TOP-K-BOUND, not matmul-bound, on
-    v5e: exact lax.top_k over a (1024, 1M) score block costs ~75 ms
-    while the distance matmul + masking cost ~8 ms and a bf16 matmul
-    changes nothing (1.01x) - approx selection is 11.2x end-to-end
-    (582 -> 52 ms per 1024-query chunk at 7M rows,
-    scripts/profile_scan_dtype.py). The cross-block running merge stays
-    exact either way, so misses are confined to within-block selection.
-    """
+    """Scan body shared by the single-chip and 'db'-sharded engines:
+    (decode ->) distance matmul -> IVF probe masking -> running top-k
+    merge over the LOCAL rows, emitting GLOBAL ids (id_base offset)."""
     mp = rows_or_codes.shape[0]
     assert mp % block == 0, (
         f"rows ({mp}) must be pre-padded to a multiple of block ({block})"
@@ -194,7 +176,7 @@ def masked_scan_search(
     row_blocks = rows_or_codes.reshape(nblk, block, -1)
     cell_blocks = (cells.reshape(nblk, block) if has_cells
                    else jnp.zeros((nblk, 1), jnp.int32))
-    bases = jnp.arange(nblk) * block
+    bases = id_base + jnp.arange(nblk) * block
 
     def body(carry, inp):
         best_s, best_i = carry
@@ -238,6 +220,111 @@ def masked_scan_search(
     )
     (s, i), _ = jax.lax.scan(body, init, (row_blocks, cell_blocks, bases))
     return s, i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "metric", "has_cells", "has_codes",
+                     "scan_topk", "recall_target"),
+)
+def masked_scan_search(
+    q: jnp.ndarray,           # (Q, d) float32
+    rows_or_codes: jnp.ndarray,  # (Mp, d) rows or (Mp, n_sub) uint8 codes
+    codebooks,                # (n_sub, ksub, dsub) when has_codes
+    cells,                    # (Mp,) int32 cell ids (when has_cells)
+    member,                   # (Q, nlist) bool probe membership
+    m_valid: jnp.ndarray,     # scalar: true row count
+    k: int,
+    block: int,
+    metric: str = "l2",
+    has_cells: bool = False,
+    has_codes: bool = False,
+    scan_topk: str = "exact",
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One compiled scan over DB blocks: (decode ->) distance matmul ->
+    IVF probe masking -> running top-k merge. The unified engine behind
+    the index family (a Python block loop would pay one remote dispatch
+    per op per block on this TPU transport).
+
+    scan_topk: per-block candidate selection. 'exact' = lax.top_k
+    (FAISS-parity ranking, the default). 'approx' = lax.approx_max_k
+    (TPU partial-reduction top-k, Chern et al. 2022) at recall_target
+    per neighbor. The block scan is TOP-K-BOUND, not matmul-bound, on
+    v5e: exact lax.top_k over a (1024, 1M) score block costs ~75 ms
+    while the distance matmul + masking cost ~8 ms and a bf16 matmul
+    changes nothing (1.01x) - approx selection is 11.2x end-to-end
+    (582 -> 52 ms per 1024-query chunk at 7M rows,
+    scripts/profile_scan_dtype.py). The cross-block running merge stays
+    exact either way, so misses are confined to within-block selection.
+    """
+    return _masked_scan_local(
+        q, rows_or_codes, codebooks, cells, member, 0, m_valid, k, block,
+        has_cells=has_cells, has_codes=has_codes, scan_topk=scan_topk,
+        recall_target=recall_target,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block", "mesh", "has_cells", "has_codes",
+                     "scan_topk", "recall_target"),
+)
+def masked_scan_search_sharded(
+    q: jnp.ndarray,           # (Q, d) float32, replicated
+    rows_or_codes: jnp.ndarray,  # (Mp, *) sharded over the 'db' axis
+    codebooks,                # replicated (has_codes)
+    cells,                    # (Mp,) int32, sharded over 'db'
+    member,                   # (Q, nlist) bool, replicated
+    m_valid: jnp.ndarray,     # scalar: true GLOBAL row count
+    k: int,
+    block: int,
+    mesh: Mesh = None,
+    has_cells: bool = False,
+    has_codes: bool = False,
+    scan_topk: str = "exact",
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The masked block scan with the DB rows sharded over the mesh's
+    'db' axis — the multi-chip path of the IVF/IVFPQ/LSH index family
+    (the published eval index is 'ivfpq', reference eval.py:65-69).
+
+    Each chip runs the same scan as masked_scan_search over its local
+    shard (decode -> distance -> probe mask -> local top-k with GLOBAL
+    row ids), then the (ndev*k) candidates are all-gathered over ICI and
+    merged with one exact top-k — the exact_topk_sharded pattern. With
+    scan_topk='exact' results equal the single-chip scan up to ties;
+    'approx' applies lax.approx_max_k to the per-shard block selection
+    only (the merge stays exact).
+
+    Caller contract: rows/cells pre-padded to a multiple of
+    (ndev * block) and device_put with a 'db' row sharding; padded tail
+    rows are masked via m_valid."""
+    ndev = mesh.shape[DB_AXIS]
+    mp = rows_or_codes.shape[0]
+    assert mp % (ndev * block) == 0, (mp, ndev, block)
+    shard_rows = mp // ndev
+
+    def local(qrep, rows_l, cb, cells_l, mem, mv):
+        id_base = jax.lax.axis_index(DB_AXIS).astype(jnp.int32) * shard_rows
+        s, i = _masked_scan_local(
+            qrep, rows_l, cb, cells_l, mem, id_base, mv, k, block,
+            has_cells=has_cells, has_codes=has_codes, scan_topk=scan_topk,
+            recall_target=recall_target,
+        )
+        all_s = jax.lax.all_gather(s, DB_AXIS, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(i, DB_AXIS, axis=1, tiled=True)
+        ms, sel = jax.lax.top_k(-all_s, k)
+        return -ms, jnp.take_along_axis(all_i, sel, 1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DB_AXIS), P(), P(DB_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(q, rows_or_codes, codebooks, cells, member, m_valid)
 
 
 def exact_topk_streaming(
@@ -290,10 +377,13 @@ def exact_topk_sharded(
     scan_topk: str = "exact",
     recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k with the DB sharded over the mesh 'db' axis.
+    """Top-k with the DB sharded over the mesh 'db' axis.
 
     Local per-shard top-k -> ICI all-gather of (ndev*k) candidates ->
-    merged global top-k. Results identical to exact_topk (up to ties).
+    merged global top-k. With scan_topk='exact' (the default) results
+    are identical to exact_topk (up to ties); with scan_topk='approx'
+    the LOCAL selection is approximate, so the exactness contract does
+    NOT hold (per-neighbor recall ~recall_target instead).
     m_valid: true row count when the caller pre-padded db (padded rows
     are masked before selection).
 

@@ -192,3 +192,21 @@ def test_create_fp_db_key_sequence_matches_serial(pipe, rng, tmp_path):
     assert len(seen) == 3
     for got, exp in zip(sorted(map(tuple, seen)), sorted(map(tuple, expect))):
         assert got == exp
+
+
+def test_track_corruption_keys_bit_identical_to_eager_chain():
+    """ADVICE r3: the one-dispatch lax.scan key chain must reproduce the
+    eager `key, sub = split(key)` sequence bit-for-bit (the overlapped
+    DB build's corruption sequence contract depends on it)."""
+    import jax
+
+    from grafp_tpu.fp.builder import track_corruption_keys
+
+    key = jax.random.key(123)
+    eager = []
+    for _ in range(17):
+        key, sub = jax.random.split(key)
+        eager.append(np.asarray(jax.random.key_data(sub)))
+    scanned = track_corruption_keys(123, 17)
+    np.testing.assert_array_equal(np.stack(eager), scanned)
+    assert track_corruption_keys(123, 0).shape[0] == 0

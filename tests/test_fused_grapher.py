@@ -97,3 +97,21 @@ def test_fused_grapher_not_used_in_train_mode(rng):
     grads = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(grads))
+
+
+def test_grapher_block_supported_vmem_guard():
+    """ADVICE r3: shapes whose estimated working set exceeds the
+    calibrated VMEM envelope report unsupported (graceful fallback)
+    instead of failing at Mosaic compile time; every flagship stage
+    shape stays supported."""
+    import jax.numpy as jnp
+
+    from grafp_tpu.ops.pallas_knn import grapher_block_supported
+
+    # flagship 't' stages (N, C): all measured-good
+    for n, c in [(1024, 64), (512, 128), (256, 256), (128, 512)]:
+        assert grapher_block_supported(n, c, jnp.bfloat16, k=3), (n, c)
+    # a C=1024 stem estimates ~32 MB — over the envelope
+    assert not grapher_block_supported(128, 1024, jnp.bfloat16, k=3)
+    # a very large k inflates the per-item estimate past the envelope too
+    assert not grapher_block_supported(1024, 64, jnp.bfloat16, k=16)

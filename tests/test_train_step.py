@@ -47,9 +47,14 @@ def test_train_step_reduces_loss(setup, rng):
     assert int(state.step) == 4
 
 
+@pytest.mark.slow
 def test_train_step_sharded_matches_single_device(rng):
     """The global-batch program must give identical losses regardless of
-    how the batch is laid out across the mesh (GSPMD semantics)."""
+    how the batch is laid out across the mesh (GSPMD semantics).
+
+    Marked slow (~4 min: compiles the full fwd+bwd step twice on 1 CPU
+    core); `pytest -m "not slow"` is the fast lane, the full suite stays
+    the CI contract."""
     cfg = tiny_config()
     model = build_model(cfg)
     x_i = jnp.asarray(rng.randn(8, 1000).astype(np.float32))
