@@ -108,11 +108,14 @@ class Config:
 
     # numerics / performance
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' matmul inputs
-    # int8-dynamic quantized matmuls for fingerprint EXTRACTION (the
-    # v5e MXU int8 path is 2x the bf16 rate). 'none' | 'int8'. Serving
-    # only: the train driver rejects it (round() has zero gradient),
-    # and the projector + pallas selection kernel stay bf16/f32
-    # (models/layers.py:int8_dynamic_matmul).
+    # int8 quantized matmuls for fingerprint EXTRACTION (the v5e MXU
+    # int8 path is 2x the bf16 rate). 'none' | 'int8' (dynamic per-call
+    # activation scales; measured 0.927x bf16 — the max passes dominate)
+    # | 'int8_static' (calibrated per-layer scales from one
+    # 'int8_calibrate' pass, models/simclr.calibrate_act_scales — no
+    # dynamic max passes). Serving only: the train driver rejects it
+    # (round() has zero gradient), and the projector + pallas selection
+    # kernel stay bf16/f32 (models/layers.py:int8_*_matmul).
     serve_quant: str = "none"
     bn_cross_replica: bool = False   # batch-norm stats across data shards
     knn_block_size: int = 0          # 0 = dense; >0 = blockwise distance

@@ -45,11 +45,16 @@ class FingerprintPipeline:
     """Jitted building blocks shared by all DB builders."""
 
     def __init__(self, model, cfg, params, batch_stats,
-                 batch_size: int = 256, bucket_s: float = 10.0):
+                 batch_size: int = 256, bucket_s: float = 10.0,
+                 extra_variables=None):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
+        # extra variable collections beyond params/batch_stats, e.g. the
+        # 'act_scales' calibration for serve_quant='int8_static'
+        # (models/simclr.calibrate_act_scales)
+        self.extra_variables = dict(extra_variables or {})
         self.batch_size = batch_size
         self.fs = int(cfg["fs"])
         self.bucket = int(bucket_s * self.fs)
@@ -65,11 +70,12 @@ class FingerprintPipeline:
             n_mels=self.mcfg.n_mels, center=False,
         )
 
+        variables = {"params": params, "batch_stats": batch_stats,
+                     **self.extra_variables}
+
         @functools.partial(jax.jit, static_argnames=())
         def _embed(spec):
-            _, z = model.apply(
-                {"params": params, "batch_stats": batch_stats}, spec, False
-            )
+            _, z = model.apply(variables, spec, False)
             return z
 
         self._embed = _embed

@@ -31,7 +31,7 @@ Faithfulness notes (verified against the reference source):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +72,7 @@ class MRConv(nn.Module):
     input_layout: str = "pair"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, rel, train: bool):
@@ -104,7 +104,7 @@ class EdgeConv(nn.Module):
     groups: int = 4
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
@@ -131,7 +131,7 @@ class SAGEConv(nn.Module):
     groups: int = 4
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
@@ -159,7 +159,7 @@ class GINConv(nn.Module):
     groups: int = 4
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
@@ -186,7 +186,7 @@ class Grapher(nn.Module):
     knn_strategy: str = "auto"  # see ops/mrconv_neighbors.py
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False  # int8-dynamic matmuls (serving only)
+    quant: Any = False  # int8 matmuls, serving only (layers.quant_mode)
     # whole-block serving kernel: 'auto' | 'on' | 'off'. Measured on
     # v5e (scripts/profile_fused_grapher.py, B=128 bf16): the fused
     # block LOSES at every stage shape (0.91-0.95x) - Mosaic's
@@ -313,7 +313,7 @@ class FFN(nn.Module):
     drop_path: float = 0.0
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -391,7 +391,7 @@ class GraphEncoder(nn.Module):
     remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False  # int8-dynamic serving path (see layers.py)
+    quant: Any = False  # int8 serving path: False|'dynamic'|'static'|'calibrate'
     fuse_serving: str = "auto"  # whole-block serving kernel (see Grapher)
 
     @nn.compact

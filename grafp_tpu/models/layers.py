@@ -10,7 +10,7 @@ torch_nn.py:68-76).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -70,18 +70,13 @@ class BatchNorm(nn.Module):
         )(x)
 
 
-def int8_dynamic_matmul(x, w):
-    """``x @ w`` on the MXU's int8 path (v5e: 394 TOPs = 2x the bf16
-    rate): symmetric per-output-channel weight scales + one dynamic
-    per-tensor activation scale, accumulated in int32 and dequantized in
-    f32. Weight quantization is O(C_in*C_out) per call - noise next to
-    the O(rows*C_in*C_out) matmul - so checkpoints stay full-precision
-    and the param tree is untouched. Serving-only: selection/aggregation
-    kernels and training stay bf16/f32."""
+def _int8_matmul_core(x, w, sx):
+    """Shared int8 MXU matmul: quantize x by the (scalar) activation
+    scale sx and w by per-output-channel scales, int32-accumulate,
+    dequantize in f32."""
     sw = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8)
     sw = (sw / 127.0).astype(jnp.float32)
     qw = jnp.round(w.astype(jnp.float32) / sw).astype(jnp.int8)
-    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8).astype(jnp.float32) / 127.0
     qx = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                   -127.0, 127.0).astype(jnp.int8)
     y = jax.lax.dot_general(
@@ -92,16 +87,62 @@ def int8_dynamic_matmul(x, w):
     return y.astype(jnp.float32) * (sx * sw)
 
 
+def int8_dynamic_matmul(x, w):
+    """``x @ w`` on the MXU's int8 path (v5e: 394 TOPs = 2x the bf16
+    rate): symmetric per-output-channel weight scales + one dynamic
+    per-tensor activation scale, accumulated in int32 and dequantized in
+    f32. Weight quantization is O(C_in*C_out) per call - noise next to
+    the O(rows*C_in*C_out) matmul - so checkpoints stay full-precision
+    and the param tree is untouched. Serving-only: selection/aggregation
+    kernels and training stay bf16/f32. Measured 0.927x bf16 on v5e
+    (BASELINE.md): the per-layer activation-max passes dominate - see
+    int8_static_matmul for the calibrated variant without them."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8).astype(jnp.float32) / 127.0
+    return _int8_matmul_core(x, w, sx)
+
+
+def int8_static_matmul(x, w, amax):
+    """int8_dynamic_matmul with a STATIC activation scale: ``amax`` is a
+    per-layer activation |max| calibrated offline (serve_quant
+    'int8_calibrate' pass), so serving pays no dynamic max pass over the
+    activation tensor - the hypothesis the round-3 0.927x dynamic-int8
+    verdict left open (BASELINE.md). Out-of-calibration activations
+    saturate at +-127 (standard static PTQ semantics)."""
+    sx = jnp.maximum(amax.astype(jnp.float32), 1e-8) / 127.0
+    return _int8_matmul_core(x, w, sx)
+
+
+def quant_mode(quant) -> Optional[str]:
+    """Normalize the module `quant` knob: False/None -> None (dense),
+    True -> 'dynamic' (back-compat), else one of
+    'dynamic' | 'static' | 'calibrate'."""
+    if not quant:
+        return None
+    if quant is True:
+        return "dynamic"
+    q = str(quant)
+    if q not in ("dynamic", "static", "calibrate"):
+        raise ValueError(f"quant mode must be dynamic|static|calibrate, "
+                         f"got {quant!r}")
+    return q
+
+
 class _QuantDenseCore(nn.Module):
     """Param-compatible stand-in for ``nn.Dense`` (same ``kernel``/
     ``bias`` leaves; instantiated with name='Dense_0' so trained
-    checkpoints load unchanged) whose matmul runs int8-dynamic."""
+    checkpoints load unchanged) whose matmul runs int8.
+
+    mode: 'dynamic' (per-call activation max), 'static' (calibrated
+    per-layer max from the 'act_scales' collection — no dynamic max
+    pass), or 'calibrate' (exact dense matmul; records the running
+    activation |max| into the mutable 'act_scales' collection)."""
 
     features: int
     use_bias: bool
     kernel_init: Callable
     bias_init: Callable
     dtype: Optional[jnp.dtype] = None
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
@@ -112,7 +153,19 @@ class _QuantDenseCore(nn.Module):
         # inter-op HBM traffic vs the bf16 baseline (ADVICE r3 — note
         # this if the 0.927x on-chip int8 verdict is ever revisited)
         dt = self.dtype or x.dtype
-        y = int8_dynamic_matmul(x, w).astype(dt)
+        if self.mode == "dynamic":
+            y = int8_dynamic_matmul(x, w).astype(dt)
+        else:
+            amax = self.variable("act_scales", "amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if self.mode == "calibrate":
+                y = jnp.dot(x.astype(dt), w.astype(dt),
+                            preferred_element_type=jnp.float32).astype(dt)
+                if not self.is_initializing():
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            else:  # static
+                y = int8_static_matmul(x, w, amax.value).astype(dt)
         if self.use_bias:
             b = self.param("bias", self.bias_init,
                            (self.features,), jnp.float32)
@@ -128,18 +181,22 @@ class PointwiseConv(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = torch_default_init
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False  # int8-dynamic serving path (eval only)
+    # int8 serving path (eval only): False | True ('dynamic') |
+    # 'dynamic' | 'static' | 'calibrate' (see quant_mode)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
-        if self.quant:
+        mode = quant_mode(self.quant)
+        if mode:
             return _QuantDenseCore(
                 self.features,
                 use_bias=self.use_bias,
                 kernel_init=self.kernel_init,
                 bias_init=torch_bias_init(c_in),
                 dtype=self.dtype,
+                mode=mode,
                 name="Dense_0",
             )(x)
         return nn.Dense(
@@ -168,7 +225,9 @@ class GroupedPointwiseConv(nn.Module):
     # (B, N, 2C) interleave pass the pair layout needs).
     concat_interleaved: bool = False
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False  # int8-dynamic serving path (eval only)
+    # int8 serving path (eval only): False | True | 'dynamic' |
+    # 'static' | 'calibrate' (see quant_mode)
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x):
@@ -184,7 +243,8 @@ class GroupedPointwiseConv(nn.Module):
             jnp.float32,
         )
         dt = self.dtype or x.dtype
-        if self.quant:
+        mode = quant_mode(self.quant)
+        if mode:
             # the dense-expanded weight keeps per-output-channel scales
             # exact (off-block zeros quantize to 0); grouped einsum at
             # these tiny per-group widths underfills the MXU anyway, so
@@ -194,7 +254,22 @@ class GroupedPointwiseConv(nn.Module):
                      _grouped_as_blockdiag_dense(w, c_in, self.features))
             # cast the f32 dequant back to the compute dtype (ADVICE r3:
             # f32 emissions double inter-op HBM traffic under bf16)
-            y = int8_dynamic_matmul(x, dense).astype(dt)
+            if mode == "dynamic":
+                y = int8_dynamic_matmul(x, dense).astype(dt)
+            else:
+                amax = self.variable("act_scales", "amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+                if mode == "calibrate":
+                    y = jnp.einsum(
+                        "...i,io->...o", x.astype(dt), dense.astype(dt),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dt)
+                    if not self.is_initializing():
+                        amax.value = jnp.maximum(
+                            amax.value,
+                            jnp.max(jnp.abs(x)).astype(jnp.float32))
+                else:  # static
+                    y = int8_static_matmul(x, dense, amax.value).astype(dt)
         elif self.concat_interleaved:
             dense = grouped_as_concat_dense(w, c_in, self.features)
             y = jnp.einsum(

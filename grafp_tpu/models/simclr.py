@@ -76,8 +76,17 @@ def build_model(cfg, axis_name: Optional[str] = None) -> SimCLRModel:
     SimCLR(cfg, encoder=GraphEncoder(cfg, in_channels=n_filters, k=k)))."""
     dtype = jnp.dtype(cfg["compute_dtype"]) if cfg["compute_dtype"] else None
     quant = str(cfg["serve_quant"] or "none").lower()
-    if quant not in ("none", "int8"):
-        raise ValueError(f"serve_quant must be 'none' or 'int8', got {quant!r}")
+    if quant not in ("none", "int8", "int8_static", "int8_calibrate"):
+        raise ValueError(
+            "serve_quant must be one of none|int8|int8_static|"
+            f"int8_calibrate, got {quant!r}")
+    # module-level quant knob: 'int8' = dynamic activation scales;
+    # 'int8_static' serves with calibrated per-layer scales (collection
+    # 'act_scales', produced by one 'int8_calibrate' pass - see
+    # calibrate_act_scales)
+    quant_flag = {"none": False, "int8": "dynamic",
+                  "int8_static": "static",
+                  "int8_calibrate": "calibrate"}[quant]
     if cfg["arch"] == "grafp":
         encoder = GraphEncoder(
             size=cfg["size"],
@@ -94,19 +103,19 @@ def build_model(cfg, axis_name: Optional[str] = None) -> SimCLRModel:
             # the projector stays full-precision: quantization noise in
             # the LAST linear feeds the fingerprint directly, and the
             # backbone is where the FLOPs are (93%)
-            quant=quant == "int8",
+            quant=quant_flag,
         )
     elif cfg["arch"] == "ast":
         from grafp_tpu.models.ast import ASTEncoder
 
-        if quant == "int8":
-            raise NotImplementedError("serve_quant='int8' supports arch=grafp only")
+        if quant_flag:
+            raise NotImplementedError("serve_quant int8 supports arch=grafp only")
         encoder = ASTEncoder(dtype=dtype)
     elif cfg["arch"] == "nafp":
         from grafp_tpu.models.nafp import NAFPEncoder
 
-        if quant == "int8":
-            raise NotImplementedError("serve_quant='int8' supports arch=grafp only")
+        if quant_flag:
+            raise NotImplementedError("serve_quant int8 supports arch=grafp only")
         encoder = NAFPEncoder(dtype=dtype)
     else:
         raise NotImplementedError(f"arch {cfg['arch']}")
@@ -120,3 +129,39 @@ def build_model(cfg, axis_name: Optional[str] = None) -> SimCLRModel:
         u=cfg["u"],
         dtype=dtype,
     )
+
+
+def calibrate_act_scales(cfg, params, batch_stats, spec_batches):
+    """Offline calibration for ``serve_quant='int8_static'``.
+
+    Runs the model with quant mode 'calibrate' (exact dense matmuls, no
+    quantization) over ``spec_batches`` (iterable of (B, n_mels,
+    n_frames) spectrogram batches), accumulating every quant layer's
+    running activation |max| into the 'act_scales' variable collection.
+    Returns that collection; pass it alongside params/batch_stats when
+    applying the 'int8_static' model (FingerprintPipeline's
+    extra_variables). Static scales remove the per-layer dynamic
+    activation-max passes that made dynamic int8 measure 0.927x bf16 on
+    v5e (BASELINE.md); activations beyond the calibrated range saturate
+    at +-127."""
+    import copy
+
+    import jax
+
+    ccfg = copy.copy(cfg)
+    ccfg["serve_quant"] = "int8_calibrate"
+    model = build_model(ccfg)
+
+    first = jax.jit(lambda v, s: model.apply(
+        v, s, False, mutable=["act_scales"]))
+    scales = None
+    for spec in spec_batches:
+        spec = jnp.asarray(spec)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if scales is not None:
+            variables["act_scales"] = scales
+        _, upd = first(variables, spec)
+        scales = upd["act_scales"]
+    if scales is None:
+        raise ValueError("calibrate_act_scales: no calibration batches")
+    return scales

@@ -29,15 +29,38 @@ class IndexHNSW:
     # 'ivfpq' are strictly better there. Override via max_rows for
     # callers who measured their own tolerance.
     DEFAULT_MAX_ROWS = 100_000
+    # The first-party C++ backend (native/src/hnsw_native.cpp — the
+    # role FAISS's C++ HNSW plays for the reference, eval.py:90-98)
+    # raises the bound to protocol scale: fma_medium's 1.6M segment
+    # rows build in minutes-to-an-hour on this 1-core host (sequential
+    # by nature; FAISS parallelizes inserts across cores).
+    NATIVE_MAX_ROWS = 2_000_000
 
     def __init__(self, d: int, m: int = 16, ef_construction: int = 80,
                  ef_search: int = 64, seed: int = 0,
-                 max_rows: int = DEFAULT_MAX_ROWS):
+                 max_rows: Optional[int] = None, backend: str = "auto"):
         self.d = d
         self.m = m
         self.m0 = 2 * m            # level-0 degree (FAISS convention)
         self.ef_construction = ef_construction
         self.ef_search = ef_search
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from grafp_tpu.native.hnsw_native import HNSWNative
+
+                self._native = HNSWNative(d, m=m,
+                                          ef_construction=ef_construction,
+                                          seed=seed)
+            except Exception:
+                if backend == "native":
+                    raise
+        elif backend != "python":
+            raise ValueError(f"backend must be auto|native|python, "
+                             f"got {backend!r}")
+        if max_rows is None:
+            max_rows = (self.NATIVE_MAX_ROWS if self._native is not None
+                        else self.DEFAULT_MAX_ROWS)
         self.max_rows = max_rows
         self.mult = 1.0 / math.log(m)
         self.rng = np.random.RandomState(seed)
@@ -107,10 +130,15 @@ class IndexHNSW:
             raise ValueError(
                 f"IndexHNSW: {self.ntotal + len(data):,} rows exceeds the "
                 f"host-side construction bound of {self.max_rows:,} "
-                f"(sequential Python insertion takes hours at this scale); "
+                f"(sequential insertion; the Python fallback takes hours "
+                f"past 100k rows); "
                 f"use index_type 'l2' (exact, on-TPU) or 'ivfpq' instead, "
                 f"or construct with max_rows=... to override"
             )
+        if self._native is not None:
+            self._native.add(data)
+            self.ntotal = self._native.ntotal
+            return
         start = self.ntotal
         self.vectors = (data if self.vectors is None
                         else np.concatenate([self.vectors, data]))
@@ -153,6 +181,9 @@ class IndexHNSW:
 
     def search(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
+        if self._native is not None:
+            return self._native.search(np.ascontiguousarray(q), k,
+                                       ef_search=self.ef_search)
         nq = len(q)
         dists = np.full((nq, k), np.inf, np.float32)
         ids = np.full((nq, k), -1, np.int64)
@@ -170,4 +201,6 @@ class IndexHNSW:
         return dists, ids
 
     def reconstruct_n(self, start: int, n: int) -> np.ndarray:
+        if self._native is not None:
+            return self._native.reconstruct_n(start, n)
         return np.asarray(self.vectors[start:start + n])

@@ -58,3 +58,38 @@ def test_hnsw_scale_guard(rng):
         idx.add(rng.randn(5, 8).astype("float32"))
     assert idx.ntotal == 6  # the refused add left the index untouched
     assert IndexHNSW.DEFAULT_MAX_ROWS == 100_000
+
+
+def test_hnsw_native_backend(rng):
+    """First-party C++ HNSW (native/src/hnsw_native.cpp — the role CPU
+    FAISS HNSW plays for the reference, eval.py:90-98): same factory
+    contract and recall as the Python fallback, protocol-scale bound."""
+    from grafp_tpu.native.hnsw_native import available
+
+    assert available()  # g++ is baked into this image
+    db, q, gt = _corpus(rng)
+    nat = IndexHNSW(db.shape[1], backend="native")
+    py = IndexHNSW(db.shape[1], backend="python")
+    assert nat._native is not None and py._native is None
+    assert nat.max_rows == IndexHNSW.NATIVE_MAX_ROWS
+    assert py.max_rows == IndexHNSW.DEFAULT_MAX_ROWS
+    for idx in (nat, py):
+        idx.add(db)
+        d, i = idx.search(q, 10)
+        assert np.mean(i[:, 0] == gt) >= 0.95
+        assert (np.diff(d, axis=1) >= -1e-6).all()
+    np.testing.assert_array_equal(nat.reconstruct_n(7, 4), db[7:11])
+    # squared-L2 distances agree with brute force for the top-1 hits
+    _, i1 = nat.search(q[:5], 1)
+    bf = np.argmin(((q[:5, None] - db[None]) ** 2).sum(-1), axis=1)
+    assert np.mean(i1[:, 0] == bf) >= 0.8
+
+
+def test_hnsw_native_guard_still_applies(rng):
+    idx = IndexHNSW(8, max_rows=10, backend="native")
+    idx.add(rng.randn(6, 8).astype("float32"))
+    import pytest
+
+    with pytest.raises(ValueError, match="'l2'"):
+        idx.add(rng.randn(5, 8).astype("float32"))
+    assert idx.ntotal == 6

@@ -110,3 +110,73 @@ def test_quant_rejected_for_training_and_other_archs():
     cfg["serve_quant"] = "int4"
     with pytest.raises(ValueError, match="serve_quant"):
         build_model(cfg)
+
+
+def test_int8_static_calibrate_and_serve():
+    """VERDICT r3 #7 plumbing: one 'int8_calibrate' pass records
+    per-layer activation maxima; 'int8_static' serves from them with NO
+    dynamic max passes."""
+    from grafp_tpu.models.simclr import calibrate_act_scales
+
+    cfg = Config()
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(4, cfg["n_mels"], cfg["n_frames"])), jnp.float32)
+    base = build_model(cfg)
+    v = base.init({"params": jax.random.key(0)}, x, False)
+    params, batch_stats = v["params"], v.get("batch_stats", {})
+
+    scales = calibrate_act_scales(cfg, params, batch_stats, [x])
+    leaves = jax.tree.leaves(scales)
+    assert leaves and all(float(a) > 0 for a in leaves)
+
+    cfg_s = Config(); cfg_s["serve_quant"] = "int8_static"
+    static = build_model(cfg_s)
+    _, z_s = static.apply({"params": params, "batch_stats": batch_stats,
+                           "act_scales": scales}, x, False)
+
+    cfg_d = Config(); cfg_d["serve_quant"] = "int8"
+    dyn = build_model(cfg_d)
+    _, z_d = dyn.apply({"params": params, "batch_stats": batch_stats},
+                       x, False)
+    # On the calibration batch itself static ~= dynamic (not
+    # bit-identical: calibration records maxima of EXACT activations,
+    # the dynamic path takes maxima of its own quantized activations, so
+    # scales differ slightly past layer 1).
+    cos_sd = np.sum(np.asarray(z_s) * np.asarray(z_d), axis=-1)
+    assert cos_sd.min() > 0.999, cos_sd
+
+    # fidelity vs full precision on a DIFFERENT batch (saturating scales)
+    x2 = jnp.asarray(np.random.default_rng(6).normal(
+        size=(4, cfg["n_mels"], cfg["n_frames"])), jnp.float32)
+    _, z_f = base.apply({"params": params, "batch_stats": batch_stats},
+                        x2, False)
+    _, z_s2 = static.apply({"params": params, "batch_stats": batch_stats,
+                            "act_scales": scales}, x2, False)
+    cos = np.sum(np.asarray(z_f) * np.asarray(z_s2), axis=-1)
+    assert cos.min() > 0.98, cos
+
+
+def test_int8_static_through_pipeline_extra_variables():
+    """FingerprintPipeline threads the act_scales collection so the DB
+    builders can serve int8_static end-to-end."""
+    from grafp_tpu.fp.builder import FingerprintPipeline
+    from grafp_tpu.models.simclr import calibrate_act_scales
+
+    cfg = Config(fs=1000, win_len=256, hop_len=128, n_fft=256, n_mels=16,
+                 n_frames=8)
+    base = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, cfg["n_mels"], cfg["n_frames"])), jnp.float32)
+    v = base.init({"params": jax.random.key(0)}, x, False)
+    params, batch_stats = v["params"], v.get("batch_stats", {})
+    scales = calibrate_act_scales(cfg, params, batch_stats, [x])
+
+    cfg_s = Config(fs=1000, win_len=256, hop_len=128, n_fft=256, n_mels=16,
+                   n_frames=8)
+    cfg_s["serve_quant"] = "int8_static"
+    static = build_model(cfg_s)
+    pipe = FingerprintPipeline(static, cfg_s, params, batch_stats,
+                               extra_variables={"act_scales": scales})
+    wave = np.random.default_rng(8).normal(size=4000).astype(np.float32)
+    z = pipe.fingerprint_track(wave)
+    assert z.shape[1] == cfg["d"] and np.isfinite(z).all()
