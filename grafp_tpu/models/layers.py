@@ -112,6 +112,48 @@ def int8_static_matmul(x, w, amax):
     return _int8_matmul_core(x, w, sx)
 
 
+@jax.custom_vjp
+def dense_matmul_bf16grad(x, w):
+    """``einsum('...i,io->...o')`` with f32 accumulation/emission whose
+    BACKWARD quantizes the cotangent to the input dtype before the two
+    transpose matmuls.
+
+    Why: a matmul with bf16 inputs and ``preferred_element_type=f32``
+    emits f32, so its cotangent arrives in f32 and BOTH transpose
+    matmuls (dx, dw) run off the MXU's native bf16 path. Round-4 bwd
+    attribution (scripts/profile_bwd_stages.py) flagged this on the
+    MRConv grouped-conv einsum — the one hot-path matmul that emits f32
+    (nn.Dense(dtype=bf16) layers already emit bf16 cotangents). The
+    forward here is bit-identical to the plain einsum; only the
+    cotangent is quantized — the same deliberate precision trade the
+    pallas kNN VJP documents (ops/pallas_knn.py:_one_backward), with
+    bf16 training measured loss-equivalent end-to-end
+    (scripts/bf16_train_study.py). In f32 the cast is a no-op."""
+    return jnp.einsum("...i,io->...o", x, w,
+                      preferred_element_type=jnp.float32)
+
+
+def _dmm_fwd(x, w):
+    return dense_matmul_bf16grad(x, w), (x, w)
+
+
+def _dmm_bwd(res, g):
+    x, w = res
+    gq = g.astype(x.dtype)                       # bf16 quantization (no-op f32)
+    dx = jnp.einsum("...o,io->...i", gq, w,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    xm = x.reshape(-1, x.shape[-1])
+    gm = gq.reshape(-1, gq.shape[-1])
+    dw = jax.lax.dot_general(
+        xm, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return dx, dw
+
+
+dense_matmul_bf16grad.defvjp(_dmm_fwd, _dmm_bwd)
+
+
 def quant_mode(quant) -> Optional[str]:
     """Normalize the module `quant` knob: False/None -> None (dense),
     True -> 'dynamic' (back-compat), else one of
@@ -272,14 +314,20 @@ class GroupedPointwiseConv(nn.Module):
                     y = int8_static_matmul(x, dense, amax.value).astype(dt)
         elif self.concat_interleaved:
             dense = grouped_as_concat_dense(w, c_in, self.features)
-            y = jnp.einsum(
-                "...i,io->...o", x.astype(dt), dense.astype(dt),
-                preferred_element_type=jnp.float32,
-            )
+            # custom-VJP matmul: identical forward, bf16 cotangent in
+            # the backward transposes (round-4 bwd attribution)
+            y = dense_matmul_bf16grad(x.astype(dt), dense.astype(dt))
         else:
             xg = x.reshape(*x.shape[:-1], g, cig)
+            xg, wg = xg.astype(dt), w.astype(dt)
+            if jax.default_backend() == "cpu" and xg.dtype == jnp.bfloat16:
+                # XLA:CPU's DotThunk has no BF16xBF16=F32 kernel for this
+                # grouped (batch-dim-on-rhs) layout (jax 0.9.0, runtime
+                # UNIMPLEMENTED); upcast there — the result is f32 either
+                # way, and the TPU path below is untouched.
+                xg, wg = xg.astype(jnp.float32), wg.astype(jnp.float32)
             y = jnp.einsum(
-                "...gi,gio->...go", xg.astype(dt), w.astype(dt),
+                "...gi,gio->...go", xg, wg,
                 preferred_element_type=jnp.float32,
             )
             y = y.reshape(*x.shape[:-1], self.features)

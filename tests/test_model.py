@@ -181,3 +181,72 @@ def test_grapher_pallas_strategy_matches_onehot(rng):
         # f32 accumulation orders leave ~1e-5 absolute noise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_model_runs_on_cpu():
+    """Portability regression: the shipped grafp.yaml sets
+    compute_dtype=bfloat16, but XLA:CPU's DotThunk (jax 0.9.0) has no
+    BF16xBF16=F32 kernel for the 'pair'-layout grouped einsum
+    (GroupedPointwiseConv else-branch), which is exactly the branch CPU
+    runs (knn_strategy auto -> onehot -> pair layout). A runtime
+    UNIMPLEMENTED error here means the reference CLI contract breaks on
+    any non-TPU host with the shipped config. layers.py upcasts that one
+    einsum on the cpu backend; this locks train fwd+bwd in bf16."""
+    cfg = Config(compute_dtype="bfloat16", n_mels=16, n_frames=8,
+                 win_len=256, hop_len=128, n_fft=256, n_filters=8,
+                 bsz_train=2)
+    from grafp_tpu.train.state import create_train_state
+    from grafp_tpu.train.step import make_train_step
+
+    model = build_model(cfg)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step = make_train_step(model, cfg, banks=None, donate=False)
+    x = jax.random.normal(jax.random.key(1), (2, cfg.clip_frames),
+                          jnp.float32)
+    _, metrics = step(state, x, x + 0.01, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dense_matmul_bf16grad_vjp():
+    """Custom-VJP matmul (round-4 bwd attack): forward bit-identical to
+    the plain f32-emitting einsum; f32 grads exactly equal (the
+    cotangent cast is a no-op); bf16 grads equal the plain einsum's up
+    to the documented cotangent quantization."""
+    import jax
+    import jax.numpy as jnp
+
+    from grafp_tpu.models.layers import dense_matmul_bf16grad
+
+    rng = np.random.RandomState(3)
+    x32 = jnp.asarray(rng.randn(6, 5, 16).astype(np.float32))
+    w32 = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+
+    def plain(x, w):
+        return jnp.einsum("...i,io->...o", x, w,
+                          preferred_element_type=jnp.float32)
+
+    def loss_of(fn):
+        return lambda x, w: jnp.sum(jnp.sin(fn(x, w)))
+
+    # f32: bit-identical forward; grads equal up to contraction-order
+    # rounding (the custom dw flattens batch dims before contracting)
+    np.testing.assert_array_equal(
+        np.asarray(dense_matmul_bf16grad(x32, w32)),
+        np.asarray(plain(x32, w32)))
+    g1 = jax.grad(loss_of(dense_matmul_bf16grad), argnums=(0, 1))(x32, w32)
+    g2 = jax.grad(loss_of(plain), argnums=(0, 1))(x32, w32)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # bf16: forward identical, grads within quantization tolerance
+    xb, wb = x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(dense_matmul_bf16grad(xb, wb), np.float32),
+        np.asarray(plain(xb, wb), np.float32))
+    g1 = jax.grad(loss_of(dense_matmul_bf16grad), argnums=(0, 1))(xb, wb)
+    g2 = jax.grad(loss_of(plain), argnums=(0, 1))(xb, wb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0.02, atol=0.02)
