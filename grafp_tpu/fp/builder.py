@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
@@ -72,6 +73,16 @@ class FingerprintPipeline:
 
         variables = {"params": params, "batch_stats": batch_stats,
                      **self.extra_variables}
+        self._variables = variables
+        # serve_quant='int8_static' needs the 'act_scales' collection;
+        # when the caller (e.g. the reference-contract CLIs, which only
+        # know params/batch_stats) didn't supply one, calibrate lazily
+        # on the first data this pipeline sees (_ensure_calibrated).
+        quant = str(cfg.get("serve_quant") or "none").lower()
+        self._needs_calibration = (
+            quant == "int8_static" and "act_scales" not in variables
+        )
+        self._calib_lock = threading.Lock()
 
         @functools.partial(jax.jit, static_argnames=())
         def _embed(spec):
@@ -111,6 +122,27 @@ class FingerprintPipeline:
             return zs.reshape(nb * self.batch_size, -1)
 
         self._embed_track = _embed_track
+
+    def _ensure_calibrated(self, spec_batch: np.ndarray) -> None:
+        """One-shot 'act_scales' calibration for serve_quant='int8_static'
+        when no scales were provided: one exact 'int8_calibrate' pass over
+        the first (<= batch_size) model inputs this pipeline sees
+        (models/simclr.calibrate_act_scales). Runs BEFORE the first embed
+        trace so the jitted programs capture the scales; thread-safe
+        (builders overlap track calls via _ordered_overlap)."""
+        if not self._needs_calibration:
+            return
+        with self._calib_lock:
+            if not self._needs_calibration or len(spec_batch) == 0:
+                return
+            from grafp_tpu.models.simclr import calibrate_act_scales
+
+            scales = calibrate_act_scales(
+                self.cfg, self.params, self.batch_stats,
+                [jnp.asarray(spec_batch[: self.batch_size])])
+            self.extra_variables["act_scales"] = scales
+            self._variables["act_scales"] = scales
+            self._needs_calibration = False
 
     # -- per-track spectrogram, exact tail semantics --------------------
     def track_logmel(self, wave: np.ndarray) -> np.ndarray:
@@ -174,6 +206,8 @@ class FingerprintPipeline:
         padded, s_true = self._pad_track(wave)
         if s_true <= 0:
             return np.zeros((0, self.d), np.float32)
+        if self._needs_calibration:
+            self._ensure_calibrated(self.segments_for(wave))
         z = self._embed_track(jnp.asarray(padded))
         return np.asarray(z[:s_true])
 
@@ -189,6 +223,8 @@ class FingerprintPipeline:
 
         def emit(batch: np.ndarray, n_valid: int):
             nonlocal total
+            if self._needs_calibration:
+                self._ensure_calibrated(batch[:n_valid])
             z = np.asarray(self._embed(jnp.asarray(batch)))
             writer.append(z[:n_valid])
             total += n_valid

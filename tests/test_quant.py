@@ -180,3 +180,56 @@ def test_int8_static_through_pipeline_extra_variables():
     wave = np.random.default_rng(8).normal(size=4000).astype(np.float32)
     z = pipe.fingerprint_track(wave)
     assert z.shape[1] == cfg["d"] and np.isfinite(z).all()
+
+
+def test_int8_static_lazy_calibration_in_pipeline():
+    """The reference-contract CLIs construct FingerprintPipeline with
+    only params/batch_stats; with serve_quant='int8_static' in the YAML
+    the pipeline must calibrate transparently on the first data it sees
+    (fp/builder.py:_ensure_calibrated) instead of crashing on the
+    missing 'act_scales' collection. Lazy scales must match an explicit
+    calibrate_act_scales on the same inputs."""
+    from grafp_tpu.fp.builder import FingerprintPipeline
+    from grafp_tpu.models.simclr import calibrate_act_scales
+
+    cfg = Config(fs=1000, win_len=256, hop_len=128, n_fft=256, n_mels=16,
+                 n_frames=8)
+    base = build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, cfg["n_mels"], cfg["n_frames"])), jnp.float32)
+    v = base.init({"params": jax.random.key(0)}, x, False)
+    params, batch_stats = v["params"], v.get("batch_stats", {})
+
+    cfg_s = Config(fs=1000, win_len=256, hop_len=128, n_fft=256, n_mels=16,
+                   n_frames=8)
+    cfg_s["serve_quant"] = "int8_static"
+    static = build_model(cfg_s)
+    pipe = FingerprintPipeline(static, cfg_s, params, batch_stats)
+    assert pipe._needs_calibration
+    wave = np.random.default_rng(8).normal(size=4000).astype(np.float32)
+    z = pipe.fingerprint_track(wave)
+    assert z.shape[1] == cfg["d"] and np.isfinite(z).all()
+    assert not pipe._needs_calibration
+
+    # lazy scales == explicit calibration over the same segment batch
+    segs = pipe.segments_for(wave)[: pipe.batch_size]
+    ref_scales = calibrate_act_scales(cfg, params, batch_stats,
+                                      [jnp.asarray(segs)])
+    lazy = jax.tree.leaves(pipe.extra_variables["act_scales"])
+    ref = jax.tree.leaves(ref_scales)
+    assert len(lazy) == len(ref) and len(lazy) > 0
+    for a, b in zip(lazy, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # and a second pipeline fed via embed_stream also self-calibrates
+    from grafp_tpu.retrieval.memmap_io import MemmapWriter
+
+    import tempfile
+    pipe2 = FingerprintPipeline(static, cfg_s, params, batch_stats,
+                                batch_size=4)
+    with tempfile.TemporaryDirectory() as td:
+        w = MemmapWriter(td, "db", pipe2.d, capacity=64)
+        n = pipe2.embed_stream([segs[:6]], w)
+        w.close()
+    assert n == 6 and not pipe2._needs_calibration
