@@ -7,8 +7,10 @@ soundfile/librosa/ffmpeg in this image. A native C++ decoder with the
 same interface lives in grafp_tpu/native (used when built; this module
 is the always-available fallback and the correctness reference).
 
-MP3/compressed formats are gated: decoded via the `ffmpeg` binary when
-one exists on PATH, otherwise a clear error tells the user to transcode.
+MP3 (the fma corpora's format, reference modules/data.py:45) is decoded
+natively by binding the system libmpg123 (grafp_tpu/native/mp3_native.py);
+other compressed formats fall back to the `ffmpeg` binary when one
+exists on PATH, otherwise a clear error tells the user to transcode.
 """
 
 from __future__ import annotations
@@ -138,6 +140,15 @@ def load_audio(
                 x, sr = _read_wav(path)
         else:
             x, sr = _read_wav(path)
+    elif ext == ".mp3" and native:
+        from grafp_tpu.native import mp3_native
+
+        try:
+            x, sr = mp3_native.read(path)
+        except mp3_native.NativeUnavailable:
+            # no libmpg123 on this host; decode errors on a real stream
+            # propagate (they mean a corrupt file, not a missing backend)
+            x, sr = _read_via_ffmpeg(path)
     else:
         x, sr = _read_via_ffmpeg(path)
     if mono and x.ndim > 1:
