@@ -65,8 +65,17 @@ def test_stereo_downmix(tmp_path):
 
 
 def test_mp3_gated_without_ffmpeg(tmp_path, monkeypatch):
+    """A host with NEITHER libmpg123 NOR ffmpeg still gets the clear
+    transcode-first error (mp3 normally decodes via the libmpg123
+    binding, tests/test_mp3.py)."""
     import shutil as sh
 
+    from grafp_tpu.native import mp3_native
+
+    def no_lib(path):
+        raise mp3_native.NativeUnavailable("simulated missing libmpg123")
+
+    monkeypatch.setattr(mp3_native, "read", no_lib)
     monkeypatch.setattr(sh, "which", lambda name: None)
     p = str(tmp_path / "x.mp3")
     open(p, "wb").write(b"\xff\xfb junk")
