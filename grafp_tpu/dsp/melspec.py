@@ -159,9 +159,21 @@ def _frame(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.nda
         xp = x
     t_padded = xp.shape[-1]
     n_frames = 1 + (t_padded - n_fft) // hop
-    # Gather frames with a strided slice per frame index; XLA lowers the
-    # stacked dynamic slices into an efficient gather / reshape when hop
-    # divides n_fft (it does here: 512 | 1024).
+    if n_fft % hop == 0:
+        # hop divides n_fft (512 | 1024 here): frames are runs of k
+        # consecutive hop-sized chunks, so build them with k static
+        # slices + one concat — pure data movement XLA fuses away. The
+        # jnp.take fallback below is a real gather, measured at ~0.9
+        # us/item of the 1.37 us/item production logmel
+        # (scripts/profile_tail_pools.py).
+        k = n_fft // hop
+        n_chunks = t_padded // hop
+        c = xp[..., : n_chunks * hop]
+        c = c.reshape(*xp.shape[:-1], n_chunks, hop)
+        assert n_chunks - k + 1 == n_frames, (n_chunks, k, n_frames)
+        return jnp.concatenate(
+            [c[..., i:n_chunks - k + 1 + i, :] for i in range(k)], axis=-1
+        )
     starts = jnp.arange(n_frames) * hop
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]   # (n_frames, n_fft)
     return jnp.take(xp, idx, axis=-1)                     # (..., n_frames, n_fft)
