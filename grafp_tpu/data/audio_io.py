@@ -146,8 +146,16 @@ def load_audio(
         try:
             x, sr = mp3_native.read(path)
         except mp3_native.NativeUnavailable:
-            # no libmpg123 on this host; decode errors on a real stream
-            # propagate (they mean a corrupt file, not a missing backend)
+            # no libmpg123 on this host
+            x, sr = _read_via_ffmpeg(path)
+        except OSError:
+            # libmpg123 rejected the stream (oddball mp3s: mid-stream
+            # format changes, free-format frames). ffmpeg handles some
+            # of those, so fall back when one exists; otherwise the
+            # decode error propagates (corrupt file, not a missing
+            # backend).
+            if shutil.which("ffmpeg") is None:
+                raise
             x, sr = _read_via_ffmpeg(path)
     else:
         x, sr = _read_via_ffmpeg(path)

@@ -23,6 +23,7 @@ convolutions (SURVEY.md §7 hard part 5). Prefetch is a thread pool
 from __future__ import annotations
 
 import queue
+import struct
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -57,7 +58,16 @@ class FingerprintDataset:
         print(f"Loaded {len(self.filenames)} files from {path}")
         self.ignore_idx: set = set()
         self.error_counts: Dict[int, int] = {}
-        self.rng = np.random.RandomState(seed)
+        # Crop RNG discipline: every train draw comes from a FRESH
+        # RandomState derived from (seed, epoch, track index) — the
+        # fp/builder.py key-sequence pattern. A single shared RandomState
+        # (round-4 state) is not thread-safe and makes batch contents
+        # depend on PairBatcher's thread interleave, so `--seed` did not
+        # actually pin runs. The reference pins its crops with per-worker
+        # torch seeding (its DataLoader workers); this is the equivalent.
+        self.seed = (int(seed) if seed is not None
+                     else int(np.random.randint(0, 2 ** 31 - 1)))
+        self.epoch = 0
         # Decode-once cache: the reference re-decodes + re-resamples every
         # track every epoch in its dataloader workers (its own input
         # bottleneck, SURVEY.md §7). fma_small at 16 kHz mono f32 is
@@ -73,7 +83,14 @@ class FingerprintDataset:
             return self._cache[idx]
         try:
             audio, sr = load_audio(self.filenames[str(idx)])
-        except (AudioDecodeError, OSError, KeyError, Exception) as e:  # noqa: B014
+        # Decode/IO failures only (the reference's budget covers decode
+        # errors, modules/data.py:37-52). A catch-all here would convert
+        # programming errors in the decode path into silent "corrupt
+        # track, skip after 5 tries" (VERDICT r4 weak #7). struct.error /
+        # ValueError / EOFError are what malformed containers raise out
+        # of the pure-python RIFF/ffmpeg fallbacks.
+        except (AudioDecodeError, OSError, KeyError, ValueError,
+                EOFError, struct.error):
             print(f"Error loading: {self.filenames.get(str(idx), idx)}")
             self.error_counts[idx] = self.error_counts.get(idx, 0) + 1
             if self.error_counts[idx] > self.error_threshold:
@@ -95,6 +112,14 @@ class FingerprintDataset:
                 return out
         raise RuntimeError("no loadable tracks in dataset")
 
+    def _crop_rng(self, idx: int) -> np.random.RandomState:
+        """Fresh RandomState for (seed, epoch, idx): draws are identical
+        regardless of which PairBatcher thread lands on the track."""
+        return np.random.RandomState(
+            np.random.SeedSequence(
+                [self.seed, self.epoch, idx]).generate_state(4)
+        )
+
     def _get_one(self, idx: int):
         audio = self._load_track(idx)
         if audio is None:
@@ -108,9 +133,10 @@ class FingerprintDataset:
         offset_mod = int(self.sample_rate * self.offset + clip)
         if len(audio) <= offset_mod:
             return None
-        r = self.rng.randint(0, len(audio) - offset_mod)
-        ri = self.rng.randint(0, offset_mod - clip)
-        rj = self.rng.randint(0, offset_mod - clip)
+        rng = self._crop_rng(idx)
+        r = rng.randint(0, len(audio) - offset_mod)
+        ri = rng.randint(0, offset_mod - clip)
+        rj = rng.randint(0, offset_mod - clip)
         region = audio[r:r + offset_mod]
         x_i = region[ri:ri + clip]
         x_j = region[rj:rj + clip]
@@ -150,6 +176,9 @@ class PairBatcher:
         order = np.random.RandomState(self.seed + self.epoch).permutation(
             len(self.ds)
         )
+        # pin the dataset's crop RNG to this epoch so worker threads draw
+        # the same crops no matter the interleave (seeded reproducibility)
+        self.ds.epoch = self.epoch
         self.epoch += 1
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
