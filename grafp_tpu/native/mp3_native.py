@@ -12,8 +12,9 @@ directly instead of shelling out to a transcoder:
   rate/channels (mpg123's f32 output path, no int16 quantization stop).
 - :func:`write` — LAME CBR encode of float32 PCM. Production code never
   needs this; it exists so the test suite can synthesize mp3 conformance
-  fixtures (encode a known melodic signal, decode it back, compare) and
-  as a transcode utility for users without ffmpeg.
+  fixtures (encode a known melodic signal, decode it back, compare).
+  It is NOT a gapless-safe transcoder (no Xing/LAME tag, so codec delay
+  is not strippable) — see its docstring.
 
 Both loaders degrade to :class:`NativeUnavailable` on import-time
 failure; `data/audio_io.py` falls back to its ffmpeg path, so a host
@@ -189,8 +190,12 @@ def read(path: str) -> Tuple[np.ndarray, int]:
 def write(path: str, x: np.ndarray, sr: int, kbps: int = 128) -> None:
     """LAME CBR mp3 encode of float32 [-1, 1] PCM, mono (T,) or (T, 2).
 
-    Test-fixture / transcode utility (see module docstring); kbps=128 is
-    fma's nominal rate.
+    TEST-FIXTURE encoder only (conformance fixtures for read(); kbps=128
+    is fma's nominal rate). Not a gapless-safe transcoder: no Xing/LAME
+    info tag is written (no lame_get_lametag_frame rewrite after flush),
+    so decoders cannot strip the ~1.7k-sample codec delay — a decode of
+    write()'s output is offset vs the input by encoder+decoder delay
+    (ADVICE r4). Use ffmpeg/lame CLI for user-facing transcodes.
     """
     lib = _load_lame()
     x = np.asarray(x, np.float32)

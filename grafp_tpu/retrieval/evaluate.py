@@ -290,6 +290,7 @@ def eval_faiss(
     mesh=None,
     scan_topk: str = "exact",
     scan_recall: float = 0.99,
+    rescore: str = "auto",
 ) -> np.ndarray:
     """Drop-in equivalent of reference eval.py:170-332 (the name is kept
     for CLI parity; the engine is the on-TPU index family, not FAISS).
@@ -304,7 +305,15 @@ def eval_faiss(
     index scan - 'exact' (default, FAISS-parity ranking) or 'approx'
     (lax.approx_max_k; the scan is top-k-bound on v5e, approx is ~11x
     faster at ~0.99 per-neighbor recall - see
-    retrieval/search.py:masked_scan_search)."""
+    retrieval/search.py:masked_scan_search).
+
+    rescore: sequence-rescoring placement - 'device' (merged DB in HBM),
+    'host' (memmap window gathers, the >HBM path, identical results), or
+    'auto' (default: pick by GRAFP_RESCORE_HBM_BUDGET; see
+    evaluate_sequences)."""
+    if rescore not in ("auto", "device", "host"):
+        raise ValueError(
+            f"rescore must be 'auto', 'device' or 'host', got {rescore!r}")
     if isinstance(test_seq_len, str):
         test_seq_len = np.asarray(list(map(int, test_seq_len.split())))
     else:
@@ -344,7 +353,7 @@ def eval_faiss(
 
     t1e, t1n, t3e, t10e = evaluate_sequences(
         index, recon, np.asarray(query), tids, gt_ids, test_seq_len,
-        k_probe=k_probe, verbose=verbose,
+        k_probe=k_probe, verbose=verbose, rescore=rescore,
     )
 
     hit_rates = np.stack([

