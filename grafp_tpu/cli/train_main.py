@@ -42,6 +42,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cache_decoded", action="store_true", default=False,
                    help="decode+resample each training track once and keep "
                         "it in RAM (fma_small ~15 GB)")
+    p.add_argument("--cache_dir", default=None, type=str,
+                   help="disk-backed decode cache: decoded tracks are "
+                        "written once as <cache_dir>/<idx>.npy and "
+                        "memmapped thereafter (persists across runs; "
+                        "measured in scripts/profile_input_pipeline.py)")
     return p
 
 
@@ -114,7 +119,8 @@ def main(argv=None):
 
     print("Loading dataset...")
     train_ds = FingerprintDataset(cfg, train_dir, train=True, seed=args.seed,
-                              cache_decoded=args.cache_decoded)
+                              cache_decoded=args.cache_decoded,
+                              cache_dir=args.cache_dir)
     train_loader = PairBatcher(train_ds, cfg["bsz_train"], seed=args.seed)
 
     valid_ds = FingerprintDataset(cfg, valid_dir, train=False)

@@ -22,6 +22,7 @@ convolutions (SURVEY.md §7 hard part 5). Prefetch is a thread pool
 
 from __future__ import annotations
 
+import os
 import queue
 import struct
 import threading
@@ -43,7 +44,8 @@ class FingerprintDataset:
     """Index-addressable track source with the reference's failure budget."""
 
     def __init__(self, cfg, path: str, train: bool = False,
-                 seed: Optional[int] = None, cache_decoded: bool = False):
+                 seed: Optional[int] = None, cache_decoded: bool = False,
+                 cache_dir: Optional[str] = None):
         self.cfg = cfg
         self.train = train
         self.norm = cfg["norm"]
@@ -68,19 +70,51 @@ class FingerprintDataset:
         self.seed = (int(seed) if seed is not None
                      else int(np.random.randint(0, 2 ** 31 - 1)))
         self.epoch = 0
-        # Decode-once cache: the reference re-decodes + re-resamples every
-        # track every epoch in its dataloader workers (its own input
-        # bottleneck, SURVEY.md §7). fma_small at 16 kHz mono f32 is
-        # ~15 GB - cheap insurance on a production host. Off by default.
+        # Decode-once caches: the reference re-decodes + re-resamples
+        # every track every epoch in its dataloader workers (its own
+        # input bottleneck, SURVEY.md §7; measured here in
+        # scripts/profile_input_pipeline.py — mp3 decode+resample is
+        # ~100x slower than a cached read on this host).
+        #   cache_decoded: in-RAM dict (fma_small at 16 kHz mono f32 is
+        #     ~15 GB; fine on a production host, epoch 2+ is decode-free).
+        #   cache_dir: disk-backed — each track's decoded 16 kHz f32 is
+        #     written once as <cache_dir>/<idx>.npy and memmapped
+        #     thereafter (decode once, memmap forever: survives process
+        #     restarts, costs no RAM beyond the page cache, and makes
+        #     even epoch 1 of a RE-run decode-free).
+        # Both off by default.
         self.cache_decoded = cache_decoded
         self._cache: Dict[int, np.ndarray] = {}
+        self._norm: Dict[int, float] = {}  # full-track qtile per track
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
 
     def __len__(self) -> int:
         return len(self.filenames)
 
+    def _cache_path(self, idx: int) -> str:
+        return os.path.join(self.cache_dir, f"{idx}.npy")
+
+    def _norm_path(self, idx: int) -> str:
+        return os.path.join(self.cache_dir, f"{idx}.norm.npy")
+
+    def _atomic_save(self, path: str, arr) -> None:
+        # tmp + rename: PairBatcher worker threads may decode the same
+        # track concurrently on the first epoch
+        tmp = path + f".tmp{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+
     def _load_track(self, idx: int) -> Optional[np.ndarray]:
         if self.cache_decoded and idx in self._cache:
             return self._cache[idx]
+        if self.cache_dir:
+            try:
+                return np.load(self._cache_path(idx), mmap_mode="r")
+            except (OSError, ValueError):
+                pass  # not cached yet (or torn write): decode below
         try:
             audio, sr = load_audio(self.filenames[str(idx)])
         # Decode/IO failures only (the reference's budget covers decode
@@ -99,6 +133,16 @@ class FingerprintDataset:
         out = resample_sinc(audio, sr, self.sample_rate)
         if self.cache_decoded:
             self._cache[idx] = out
+        if self.cache_dir:
+            self._atomic_save(self._cache_path(idx), out)
+            if self.train and self.norm is not None:
+                # sidecar norm: a fresh process reading the cache must
+                # not pay a full-track quantile per track (the remaining
+                # per-item cost after decode is cached)
+                nv = qtile_norm(out, q=self.norm)
+                self._norm[idx] = nv
+                self._atomic_save(self._norm_path(idx),
+                                  np.float64(nv))
         return out
 
     def __getitem__(self, idx: int):
@@ -143,7 +187,19 @@ class FingerprintDataset:
         if np.abs(x_i).max() < self.silence or np.abs(x_j).max() < self.silence:
             return None  # silence -> try next track (data.py:82-84)
         if self.norm is not None:
-            nv = qtile_norm(audio, q=self.norm)
+            # the 0.95-quantile of the FULL track (reference data.py:86-89)
+            # depends only on the track: compute once per process, not
+            # once per epoch (it reads + partitions the whole track)
+            nv = self._norm.get(idx)
+            if nv is None and self.cache_dir:
+                try:
+                    nv = float(np.load(self._norm_path(idx)))
+                    self._norm[idx] = nv
+                except (OSError, ValueError):
+                    nv = None
+            if nv is None:
+                nv = qtile_norm(audio, q=self.norm)
+                self._norm[idx] = nv
             x_i = x_i / nv
             x_j = x_j / nv
 

@@ -241,6 +241,42 @@ def test_pair_batcher_propagates_worker_errors(audio_dir, tmp_path):
     assert isinstance(exc_info.value.__cause__, ValueError)
 
 
+def test_dataset_disk_cache(audio_dir, tmp_path, monkeypatch):
+    """cache_dir: decode once -> <cache_dir>/<idx>.npy, memmapped on
+    every later read — including by a FRESH dataset instance (the
+    decode-once-memmap-forever mitigation for the input-bound train
+    pipeline, VERDICT r4 missing #2)."""
+    import grafp_tpu.data.dataset as dataset_mod
+
+    calls = {"n": 0}
+    real_load = dataset_mod.load_audio
+
+    def counting_load(path):
+        calls["n"] += 1
+        return real_load(path)
+
+    monkeypatch.setattr(dataset_mod, "load_audio", counting_load)
+    cdir = str(tmp_path / "decoded")
+    cfg = _cfg(audio_dir, tmp_path)
+
+    ds = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0,
+                            cache_dir=cdir)
+    pair_cold = ds[0]
+    n_cold = calls["n"]
+    assert n_cold >= 1 and os.path.exists(os.path.join(cdir, "0.npy"))
+    pair_warm = ds[0]
+    assert calls["n"] == n_cold  # served from disk, no re-decode
+    np.testing.assert_array_equal(pair_cold[0], pair_warm[0])
+
+    # a fresh instance (fresh process in real life) reuses the cache
+    ds2 = FingerprintDataset(cfg, str(audio_dir), train=True, seed=0,
+                             cache_dir=cdir)
+    pair2 = ds2[0]
+    assert calls["n"] == n_cold
+    np.testing.assert_array_equal(pair_cold[0], pair2[0])
+    np.testing.assert_array_equal(pair_cold[1], pair2[1])
+
+
 def test_pair_batcher_seeded_reproducible(audio_dir, tmp_path):
     """Two fresh batchers with the same seed yield byte-identical epochs
     under multi-threaded prefetch (VERDICT r4 weak #1): crop draws come
