@@ -58,6 +58,11 @@ def resample_sinc(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
         xp, shape=(num_frames, taps),
         strides=(xp.strides[0] * orig, xp.strides[0]),
     )
-    # (num_frames, taps) x (taps, new) -> (num_frames, new) -> interleave
-    out = strided @ kernels.T
+    # (num_frames, taps) x (taps, new) -> (num_frames, new) -> interleave.
+    # The explicit contiguous copy matters: numpy matmul on an as_strided
+    # view falls back to its slow non-BLAS kernel — measured 157 ms vs
+    # 7 ms (22x) for a 30 s 44.1k->16k track on this host, which made
+    # the resampler the dominant input-pipeline cost
+    # (scripts/profile_input_pipeline.py).
+    out = np.ascontiguousarray(strided) @ kernels.T
     return out.reshape(-1)[:target_len].astype(np.float32)
