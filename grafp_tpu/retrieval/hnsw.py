@@ -31,9 +31,15 @@ class IndexHNSW:
     DEFAULT_MAX_ROWS = 100_000
     # The first-party C++ backend (native/src/hnsw_native.cpp — the
     # role FAISS's C++ HNSW plays for the reference, eval.py:90-98)
-    # raises the bound to protocol scale: fma_medium's 1.6M segment
-    # rows build in minutes-to-an-hour on this 1-core host (sequential
-    # by nature; FAISS parallelizes inserts across cores).
+    # raises the bound to protocol scale. MEASURED (round 5,
+    # scripts/profile_hnsw_native.py, 1M x 128 unit rows, 1 core):
+    # build 2,031 s (34 min; 1,096 rows/s at 100k decaying to ~500
+    # average — insertion is O(log N) each and sequential by nature,
+    # FAISS parallelizes inserts across cores), search p50 1.23 ms /
+    # p95 1.67 ms single query, 755 q/s batched. 2M extrapolates to
+    # ~1.3-1.5 h of build — tolerable for an offline index build,
+    # refused beyond that (fma_large's 31M rows would be days; use
+    # 'ivfpq' / sharded 'l2' there, as the published protocol does).
     NATIVE_MAX_ROWS = 2_000_000
 
     def __init__(self, d: int, m: int = 16, ef_construction: int = 80,

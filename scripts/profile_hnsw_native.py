@@ -13,9 +13,12 @@ estimate. This script replaces the estimate with numbers:
 
 Usage:
   python scripts/profile_hnsw_native.py [--rows 1000000] [--queries 500]
-      [--d 128] [--chunk 100000]
+      [--d 128] [--chunk 100000] [--ef_sweep]
 
-Writes one summary block to stdout for BASELINE.md.
+--ef_sweep additionally reports recall@1/recall@20 and batched q/s at
+ef_search in {32,64,128,256,512} (the BASELINE.md 100k-row curve is
+`--rows 100000 --ef_sweep`). Writes one summary block to stdout for
+BASELINE.md.
 """
 
 import argparse
@@ -61,6 +64,7 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=100_000)
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--ef_sweep", action="store_true")
     args = ap.parse_args()
 
     from grafp_tpu.native.hnsw_native import HNSWNative, available
@@ -119,6 +123,23 @@ def main():
           f"p50 {lat[len(lat)//2]*1e3:.2f} ms / "
           f"p95 {lat[int(len(lat)*0.95)]*1e3:.2f} ms")
     print(f"recall@1 {r1:.4f}   mean recall@{args.k} {inter.mean():.4f}")
+
+    if args.ef_sweep:
+        print(f"\n[ef_sweep] recall vs ef_search at {args.rows:,} rows")
+        for efs in (32, 64, 128, 256, 512):
+            t0 = time.time()
+            _, ids = idx.search(np.ascontiguousarray(q), args.k,
+                                ef_search=efs)
+            dt = time.time() - t0
+            r1 = float((ids[:, 0] == gt_i[:, 0]).mean())
+            r20 = np.mean([
+                len(set(ids[r].tolist()) & set(gt_i[r].tolist())) / args.k
+                for r in range(args.queries)
+            ])
+            print(f"  efS={efs:4d}  recall@1 {r1:.4f}  "
+                  f"recall@{args.k} {r20:.4f}  "
+                  f"batch {args.queries} in {dt:.2f}s "
+                  f"({args.queries/dt:,.0f} q/s)", flush=True)
 
 
 if __name__ == "__main__":
