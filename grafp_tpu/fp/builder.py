@@ -123,6 +123,36 @@ class FingerprintPipeline:
 
         self._embed_track = _embed_track
 
+        # ---- packed multi-track program: (K, L) padded waves in ONE
+        # upload/dispatch/fetch. The dummy build is transport-bound on
+        # the remote-attached TPU (~95 ms of fixed round-trip cost per
+        # track vs ~14 ms of model compute), so amortizing the round
+        # trip over K tracks is the big lever at fma_medium/large scale.
+        # Same per-segment math as _embed_track (eval-mode BN uses
+        # running stats, so rows are independent of batch packing).
+        # One compile per (K, bucketed length) — callers pad short
+        # groups up to K by repeating a wave and drop the extra rows.
+        @functools.partial(jax.jit, static_argnames=())
+        def _embed_tracks(padded_waves):
+            mel = log_mel_spectrogram(padded_waves, self.mcfg_nopad)
+            k, _, total = mel.shape
+            s_b = (total - self.n_frames) // self.step + 1
+            segs = jax.vmap(
+                lambda m: unfold_segments(m, self.n_frames, self.step)
+            )(mel)                                  # (K, s_b, n_mels, n_frames)
+            segs = segs.reshape(k * s_b, *segs.shape[2:])
+            nb = -(-(k * s_b) // self.batch_size)
+            pad = nb * self.batch_size - k * s_b
+            segs = jnp.pad(segs, ((0, pad), (0, 0), (0, 0)))
+            batches = segs.reshape(nb, self.batch_size, *segs.shape[1:])
+            zs = jax.lax.map(self._embed, batches)
+            return zs.reshape(nb * self.batch_size, -1)[: k * s_b]
+
+        self._embed_tracks = _embed_tracks
+        # DB-build pack size (tracks per device dispatch); config knob
+        # build_pack, default 8. 1 disables packing (per-track program).
+        self.build_pack = max(1, int(cfg.get("build_pack") or 8))
+
     def _ensure_calibrated(self, spec_batch: np.ndarray) -> None:
         """One-shot 'act_scales' calibration for serve_quant='int8_static'
         when no scales were provided: one exact 'int8_calibrate' pass over
@@ -211,6 +241,61 @@ class FingerprintPipeline:
         z = self._embed_track(jnp.asarray(padded))
         return np.asarray(z[:s_true])
 
+    def fingerprint_tracks(self, waves, pack: Optional[int] = None) -> list:
+        """List of (T_i,) raw tracks -> list of (S_i, d) fingerprints.
+
+        Packs consecutive same-bucket-length tracks into single (K, L)
+        device dispatches (K = self.build_pack); runs of one (or
+        heterogeneous lengths) fall back to the per-track program, so
+        results always match per-track fingerprint_track numerics up to
+        XLA batching (identical math; eval-mode BN has no cross-row
+        coupling). A short final group is padded to K by repeating its
+        last wave — one compile per (K, bucket) — and the extra rows are
+        dropped on the host slice."""
+        waves = [np.asarray(w, np.float32) for w in waves]
+        padded = [self._pad_track(w) for w in waves]
+        if self._needs_calibration:
+            for w, (_, s_t) in zip(waves, padded):
+                if s_t > 0:
+                    self._ensure_calibrated(self.segments_for(w))
+                    break
+        out: list = [None] * len(waves)
+        kpack = self.build_pack if pack is None else max(1, int(pack))
+        i = 0
+        while i < len(waves):
+            if padded[i][1] <= 0:
+                out[i] = np.zeros((0, self.d), np.float32)
+                i += 1
+                continue
+            length = padded[i][0].shape[1]
+            group = [i]
+            j = i + 1
+            while (j < len(waves) and len(group) < kpack
+                   and padded[j][1] > 0
+                   and padded[j][0].shape[1] == length):
+                group.append(j)
+                j += 1
+            if kpack == 1:
+                z = self._embed_track(jnp.asarray(padded[i][0]))
+                out[i] = np.asarray(z[: padded[i][1]])
+            else:
+                # singleton runs also go through the packed program
+                # (repeat-padded): one compile per (K, bucket) total —
+                # a tail-of-build singleton must not trigger a fresh
+                # minutes-long compile of the per-track program.
+                stack = np.concatenate([padded[g][0] for g in group])
+                if len(group) < kpack:  # repeat-pad to the static K
+                    stack = np.concatenate(
+                        [stack, np.repeat(stack[-1:], kpack - len(group), 0)]
+                    )
+                z = np.asarray(self._embed_tracks(jnp.asarray(stack)))
+                s_b = z.shape[0] // kpack
+                z = z.reshape(kpack, s_b, -1)
+                for t, g in enumerate(group):
+                    out[g] = np.ascontiguousarray(z[t, : padded[g][1]])
+            i = j
+        return out
+
     # -- rolling full-batch embedder ------------------------------------
     def embed_stream(
         self, segment_blocks: Iterable[np.ndarray], writer: MemmapWriter
@@ -269,6 +354,32 @@ def _ordered_overlap(
             yield pending.popleft().result()
 
 
+def _track_getters(loader) -> Iterable:
+    """Per-track thunks for the overlap workers.
+
+    A TrackLoader (duck-typed: .ds + .indices) yields INDEX thunks so
+    decode+resample runs INSIDE the worker threads, overlapped with
+    device round trips — iterating it directly would serialize decode in
+    the main thread between result yields. Any other iterable is passed
+    through as already-materialized waves."""
+    if hasattr(loader, "ds") and hasattr(loader, "indices"):
+        ds = loader.ds
+        return (functools.partial(ds.__getitem__, int(i))
+                for i in loader.indices)
+    return iter(loader)
+
+
+def _chunks(it: Iterable, n: int) -> Iterator[list]:
+    buf: list = []
+    for x in it:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 def _capacity(loader_len: int, cfg, max_track_s: float = 40.0) -> int:
     frames = 1 + int(max_track_s * cfg["fs"]) // cfg["hop_len"]
     per_track = num_segments(frames, cfg["n_frames"], cfg.seg_hop_frames)
@@ -300,21 +411,30 @@ def track_corruption_keys(seed: int, n: int) -> np.ndarray:
 def create_dummy_db(
     loader, pipeline: FingerprintPipeline, output_root_dir: str,
     fname: str = "dummy_db", verbose: bool = True,
+    pack: Optional[int] = None,
 ) -> Tuple[int, int]:
     """Clean fingerprints of every track (reference test_fp.py:127-158),
-    via the fused per-track device program."""
+    via the fused packed device program: `pack` tracks (default
+    cfg build_pack, 8) share one upload/dispatch/fetch, and decode runs
+    in the overlap worker threads. pack=1 reproduces the round-4
+    per-track path exactly."""
     cfg = pipeline.cfg
+    kpack = pipeline.build_pack if pack is None else max(1, int(pack))
     writer = MemmapWriter(output_root_dir, fname, pipeline.d,
                           capacity=_capacity(len(loader), cfg))
 
-    def _one(wave: np.ndarray) -> np.ndarray:
-        return pipeline.fingerprint_track(np.asarray(wave, np.float32))
+    def _group(getters: list) -> list:
+        waves = [g() if callable(g) else g for g in getters]
+        return pipeline.fingerprint_tracks(waves, pack=kpack)
 
-    for i, z in enumerate(_ordered_overlap(_one, loader)):
-        if verbose and i % 100 == 0:
-            print(f"=> dummy db [{i}/{len(loader)}]")
-        if len(z):
-            writer.append(z)
+    done = 0
+    for zs in _ordered_overlap(_group, _chunks(_track_getters(loader), kpack)):
+        for z in zs:
+            if verbose and done % 100 == 0:
+                print(f"=> dummy db [{done}/{len(loader)}]")
+            done += 1
+            if len(z):
+                writer.append(z)
     return writer.close()
 
 
@@ -343,6 +463,8 @@ def create_fp_db(
     def _pair(wave_sub) -> Tuple[np.ndarray, np.ndarray]:
         wave, sub_data = wave_sub
         sub = jax.random.wrap_key_data(jnp.asarray(sub_data))
+        if callable(wave):  # TrackLoader thunk: decode in this worker
+            wave = wave()
         wave = np.asarray(wave, np.float32)
         z_clean = pipeline.fingerprint_track(wave)
         corrupted = pipeline.corrupt_track(wave, banks, sub, ir_prob=ir_prob)
@@ -350,7 +472,7 @@ def create_fp_db(
         return z_clean, z_dirty
 
     n1 = n2 = 0
-    pairs = _ordered_overlap(_pair, zip(loader, subs_data))
+    pairs = _ordered_overlap(_pair, zip(_track_getters(loader), subs_data))
     for i, (z_clean, z_dirty) in enumerate(pairs):
         if verbose and i % 10 == 0:
             print(f"=> fp db [{i}/{len(loader)}]")
@@ -369,19 +491,25 @@ def create_fp_db(
 def create_db(
     loader, pipeline: FingerprintPipeline, output_dir: str,
     concat: bool = True, verbose: bool = True,
+    pack: Optional[int] = None,
 ) -> np.ndarray:
     """Standalone fingerprint extraction -> fingerprints.npy (reference
-    generate.py:34-57)."""
+    generate.py:34-57), via the packed device program (see
+    create_dummy_db)."""
     import os
 
-    def _one(wave: np.ndarray) -> np.ndarray:
-        return pipeline.fingerprint_track(np.asarray(wave, np.float32))
+    kpack = pipeline.build_pack if pack is None else max(1, int(pack))
+
+    def _group(getters: list) -> list:
+        waves = [g() if callable(g) else g for g in getters]
+        return pipeline.fingerprint_tracks(waves, pack=kpack)
 
     outs = []
-    for i, z in enumerate(_ordered_overlap(_one, loader)):
-        outs.append(z)
-        if verbose and i % 10 == 0:
-            print(f"=> generate [{i}/{len(loader)}]")
+    for zs in _ordered_overlap(_group, _chunks(_track_getters(loader), kpack)):
+        for z in zs:
+            if verbose and len(outs) % 10 == 0:
+                print(f"=> generate [{len(outs)}/{len(loader)}]")
+            outs.append(z)
     fp = np.concatenate(outs, axis=0) if concat else np.array(outs, dtype=object)
     os.makedirs(output_dir, exist_ok=True)
     np.save(os.path.join(output_dir, "fingerprints.npy"), fp)

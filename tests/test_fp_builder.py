@@ -104,6 +104,45 @@ def test_create_dummy_db(pipe, rng, tmp_path):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_fingerprint_tracks_packed_matches_single(pipe, rng):
+    """The packed (K, L) program must reproduce per-track fingerprints
+    (same math; eval-mode BN has no cross-row coupling) across
+    same-length runs, repeat-padded short groups, singletons of a
+    different bucket, and too-short tracks."""
+    cfg, p = pipe
+    waves = [
+        rng.randn(3000).astype(np.float32) * 0.3,   # bucket 4000 run
+        rng.randn(3100).astype(np.float32) * 0.3,
+        rng.randn(3500).astype(np.float32) * 0.3,
+        rng.randn(5200).astype(np.float32) * 0.3,   # bucket 6000 singleton
+        rng.randn(100).astype(np.float32) * 0.3,    # too short: (0, d)
+        rng.randn(2900).astype(np.float32) * 0.3,   # back to bucket 4000
+    ]
+    ref = [p.fingerprint_track(w) for w in waves]
+    for pack in (1, 2, 8):
+        got = p.fingerprint_tracks(waves, pack=pack)
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-5)
+
+
+def test_create_dummy_db_pack_equivalence(pipe, rng, tmp_path):
+    """pack=1 (round-4 per-track path) and packed builds write the same
+    memmap rows in the same order."""
+    cfg, p = pipe
+    d1, d3 = tmp_path / "p1", tmp_path / "p3"
+    d1.mkdir(), d3.mkdir()
+    loader = _fake_loader(rng, 5)  # re-iterable: same tracks both builds
+    n1, _ = create_dummy_db(loader, p, str(d1), verbose=False, pack=1)
+    n3, _ = create_dummy_db(loader, p, str(d3), verbose=False, pack=3)
+    assert n1 == n3
+    a, _ = load_memmap_data(str(d1), "dummy_db", display=False)
+    b, _ = load_memmap_data(str(d3), "dummy_db", display=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_create_fp_db_row_alignment(pipe, rng, tmp_path):
     cfg, p = pipe
     banks = AugmentBanks.from_arrays(
