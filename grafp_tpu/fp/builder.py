@@ -83,6 +83,7 @@ class FingerprintPipeline:
             quant == "int8_static" and "act_scales" not in variables
         )
         self._calib_lock = threading.Lock()
+        self._corrupt_cache: dict = {}
 
         @functools.partial(jax.jit, static_argnames=())
         def _embed(spec):
@@ -202,6 +203,75 @@ class FingerprintPipeline:
             ir_prob=ir_prob, noise_prob=1.0,
         )
         return np.asarray(out[0])
+
+    def corrupt_tracks(self, waves: list, banks: AugmentBanks, subs_data,
+                       ir_prob: float = 1.0, pack: Optional[int] = None
+                       ) -> list:
+        """Per-track corruption for a list of tracks, packed: runs of
+        equal TRUE length share one vmapped device dispatch. vmapping
+        augment_waveforms over (wave, key) reproduces each per-track
+        call's random draws KEY-exactly (threefry depends only on the
+        lane's key: same clip rows, offsets, SNRs, take masks); the
+        waveform arithmetic matches to f32 rounding (~2e-7, batched GEMM
+        scheduling — tests/test_fp_builder.py). Groups are repeat-padded
+        to the static pack size — one compile total. Unequal-length
+        singletons fall back to corrupt_track."""
+        if banks is None or (banks.noise is None and banks.ir is None):
+            return [np.asarray(w, np.float32) for w in waves]
+        kpack = self.build_pack if pack is None else max(1, int(pack))
+        out: list = [None] * len(waves)
+        i = 0
+        while i < len(waves):
+            t_len = len(waves[i])
+            group = [i]
+            j = i + 1
+            while (j < len(waves) and len(group) < kpack
+                   and len(waves[j]) == t_len):
+                group.append(j)
+                j += 1
+            if len(group) == 1:
+                sub = jax.random.wrap_key_data(jnp.asarray(subs_data[i]))
+                out[i] = self.corrupt_track(
+                    np.asarray(waves[i], np.float32), banks, sub,
+                    ir_prob=ir_prob)
+            else:
+                batch = np.stack(
+                    [np.asarray(waves[g], np.float32) for g in group])
+                keys = np.stack([np.asarray(subs_data[g]) for g in group])
+                if len(group) < kpack:
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], kpack - len(group), 0)])
+                    keys = np.concatenate(
+                        [keys, np.repeat(keys[-1:], kpack - len(group), 0)])
+                fn = self._corrupt_batch_fn(banks, float(ir_prob))
+                y = np.asarray(fn(jnp.asarray(batch), jnp.asarray(keys)))
+                for t, g in enumerate(group):
+                    out[g] = y[t]
+            i = j
+        return out
+
+    def _corrupt_batch_fn(self, banks: AugmentBanks, ir_prob: float):
+        """Jitted (K, T) x (K,) keys -> (K, T) corruption, closing over
+        the banks (AugmentBanks is not a pytree) — cached per (banks,
+        ir_prob) so repeated groups reuse one compiled program."""
+        cache_key = (id(banks), ir_prob)
+        fn = self._corrupt_cache.get(cache_key)
+        if fn is None:
+            snr = self._val_snr
+
+            @jax.jit
+            def fn(batch, keys_data):
+                keys = jax.random.wrap_key_data(keys_data)
+
+                def one(w, k):
+                    return augment_waveforms(
+                        w[None, :], banks, k, snr,
+                        ir_prob=ir_prob, noise_prob=1.0)[0]
+
+                return jax.vmap(one)(batch, keys)
+
+            self._corrupt_cache[cache_key] = fn
+        return fn
 
     def segments_for(self, wave: np.ndarray) -> np.ndarray:
         """(T,) -> (S, n_mels, n_frames) float32 model inputs."""
@@ -441,13 +511,21 @@ def create_dummy_db(
 def create_fp_db(
     loader, pipeline: FingerprintPipeline, banks: Optional[AugmentBanks],
     output_root_dir: str, seed: int = 0, ir_prob: float = 1.0,
-    verbose: bool = True,
+    verbose: bool = True, pack: Optional[int] = None,
 ) -> Tuple[int, int]:
     """Paired clean (db) / corrupted (query) fingerprints per track
     (reference test_fp.py:87-125: z_i from x_i -> db, z_j from the
     noise+IR view -> query). Row alignment between the two files is the
-    ground-truth contract of the whole eval."""
+    ground-truth contract of the whole eval.
+
+    Packed like create_dummy_db: per group of `pack` tracks, ONE vmapped
+    corruption dispatch + packed clean/dirty embeds (vs 3 round trips
+    per track); the per-track corruption KEY sequence is identical to
+    the serial loop's (corrupt_tracks vmaps augment_waveforms over
+    per-track keys — same clip/offset/SNR draws per track; waveforms
+    match to f32 rounding)."""
     cfg = pipeline.cfg
+    kpack = pipeline.build_pack if pack is None else max(1, int(pack))
     cap = _capacity(len(loader), cfg)
     w_db = MemmapWriter(output_root_dir, "db", pipeline.d, capacity=cap)
     w_q = MemmapWriter(output_root_dir, "query", pipeline.d, capacity=cap)
@@ -460,29 +538,32 @@ def create_fp_db(
     # remote transport (ADVICE r3).
     subs_data = track_corruption_keys(seed, len(loader))
 
-    def _pair(wave_sub) -> Tuple[np.ndarray, np.ndarray]:
-        wave, sub_data = wave_sub
-        sub = jax.random.wrap_key_data(jnp.asarray(sub_data))
-        if callable(wave):  # TrackLoader thunk: decode in this worker
-            wave = wave()
-        wave = np.asarray(wave, np.float32)
-        z_clean = pipeline.fingerprint_track(wave)
-        corrupted = pipeline.corrupt_track(wave, banks, sub, ir_prob=ir_prob)
-        z_dirty = pipeline.fingerprint_track(corrupted)
-        return z_clean, z_dirty
+    def _pairs(chunk: list) -> list:
+        waves = [g() if callable(g) else g for g, _ in chunk]
+        waves = [np.asarray(w, np.float32) for w in waves]
+        subs = [s for _, s in chunk]
+        z_clean = pipeline.fingerprint_tracks(waves, pack=kpack)
+        corrupted = pipeline.corrupt_tracks(waves, banks, subs,
+                                            ir_prob=ir_prob, pack=kpack)
+        z_dirty = pipeline.fingerprint_tracks(corrupted, pack=kpack)
+        return list(zip(z_clean, z_dirty))
 
     n1 = n2 = 0
-    pairs = _ordered_overlap(_pair, zip(_track_getters(loader), subs_data))
-    for i, (z_clean, z_dirty) in enumerate(pairs):
-        if verbose and i % 10 == 0:
-            print(f"=> fp db [{i}/{len(loader)}]")
-        # row alignment: truncate to the common segment count
-        s = min(len(z_clean), len(z_dirty))
-        if s:
-            w_db.append(z_clean[:s])
-            w_q.append(z_dirty[:s])
-            n1 += s
-            n2 += s
+    done = 0
+    groups = _ordered_overlap(
+        _pairs, _chunks(zip(_track_getters(loader), subs_data), kpack))
+    for pair_group in groups:
+        for z_clean, z_dirty in pair_group:
+            if verbose and done % 10 == 0:
+                print(f"=> fp db [{done}/{len(loader)}]")
+            done += 1
+            # row alignment: truncate to the common segment count
+            s = min(len(z_clean), len(z_dirty))
+            if s:
+                w_db.append(z_clean[:s])
+                w_q.append(z_dirty[:s])
+                n1 += s
+                n2 += s
     assert n1 == n2, (n1, n2)
     w_db.close()
     return w_q.close()

@@ -42,6 +42,9 @@ def main():
                     help="also measure pack=1 (second compile)")
     ap.add_argument("--sweep", action="store_true",
                     help="packed workers/inflight sweep")
+    ap.add_argument("--fpdb", type=int, default=0, metavar="N",
+                    help="also A/B create_fp_db (paired clean+corrupt "
+                         "build) over N tracks at pack K vs pack 1")
     ap.add_argument("--root", default=None)
     args = ap.parse_args()
 
@@ -142,6 +145,43 @@ def main():
                             "wall_s": round(dt, 1)}
             print(f"[{tag}] {len(ds) / dt:.2f} tracks/s "
                   f"({rows / dt:.0f} fp/s)", flush=True)
+
+    if args.fpdb:
+        from grafp_tpu.data.dataset import build_augment_banks
+        from grafp_tpu.fp.builder import create_fp_db
+
+        noise_dir = os.path.join(root, "noise")
+        ir_dir = os.path.join(root, "ir")
+        make_wav_dir(noise_dir, n=8, dur_s=5.0, sr=16000, seed=30,
+                     kind="noise")
+        make_wav_dir(ir_dir, n=4, dur_s=0.5, sr=16000, seed=40, kind="ir")
+        banks = build_augment_banks(
+            [os.path.join(noise_dir, f) for f in sorted(os.listdir(noise_dir))],
+            [os.path.join(ir_dir, f) for f in sorted(os.listdir(ir_dir))],
+            cfg["fs"])
+        qloader = TrackLoader(ds, idx[: args.fpdb])
+        from grafp_tpu.fp.builder import track_corruption_keys
+        t0 = time.perf_counter()
+        warm = [ds[i] for i in range(args.pack)]
+        pipe.corrupt_tracks(warm, banks, track_corruption_keys(0, args.pack),
+                            pack=args.pack)
+        print(f"[fpdb] corrupt-program compile "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        for tag, pk in ((f"fpdb_pack{args.pack}", args.pack),
+                        ("fpdb_pack1", 1)):
+            out = os.path.join(root, tag)
+            os.makedirs(out, exist_ok=True)
+            t0 = time.perf_counter()
+            n, d = create_fp_db(qloader, pipe, banks, out, seed=0,
+                                verbose=False, pack=pk)
+            dt = time.perf_counter() - t0
+            results[tag] = {"tracks_s": round(args.fpdb / dt, 2),
+                            "wall_s": round(dt, 1), "rows": int(n)}
+            print(f"[{tag}] {args.fpdb} tracks (clean+corrupt pairs) in "
+                  f"{dt:.1f}s = {args.fpdb / dt:.2f} tracks/s "
+                  f"(~{400 * dt / args.fpdb / 60:.1f} min per 400-track "
+                  f"query build)", flush=True)
+            shutil.rmtree(out, ignore_errors=True)
 
     print(json.dumps(results))
     if args.root is None:

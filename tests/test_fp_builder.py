@@ -162,6 +162,70 @@ def test_create_fp_db_row_alignment(pipe, rng, tmp_path):
     assert own > other
 
 
+def test_corrupt_tracks_matches_per_track(pipe, rng):
+    """The vmapped packed corruption must reproduce each per-track
+    corrupt_track call: the random draws (clip row, offset, SNR, take)
+    are KEY-exact — threefry depends only on the lane's key — so any
+    deviation is f32 rounding from batched GEMM scheduling (measured
+    ~2e-7; an off-by-one draw would be O(1))."""
+    import jax
+
+    from grafp_tpu.fp.builder import track_corruption_keys
+
+    cfg, p = pipe
+    banks = AugmentBanks.from_arrays(
+        noise_clips=[rng.randn(5000).astype(np.float32),
+                     rng.randn(3000).astype(np.float32)],
+        ir_clips=[np.r_[1.0, rng.randn(15) * 0.1].astype(np.float32)],
+        noise_len=5000, ir_len=16,
+    )
+    # equal-length run (packed) + a different length (singleton fallback)
+    waves = [rng.randn(3000).astype(np.float32) * 0.3 for _ in range(5)]
+    waves.append(rng.randn(4200).astype(np.float32) * 0.3)
+    subs = track_corruption_keys(3, len(waves))
+    ref = []
+    for w, s in zip(waves, subs):
+        k = jax.random.wrap_key_data(np.asarray(s))
+        ref.append(p.corrupt_track(w, banks, k, ir_prob=1.0))
+    for pack in (3, 8):
+        got = p.corrupt_tracks(waves, banks, subs, ir_prob=1.0, pack=pack)
+        for g, r in zip(got, ref):
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
+def test_create_fp_db_pack_equivalence(pipe, rng, tmp_path):
+    """Packed pair build == per-track pair build: same db AND query rows
+    (the corruption keys and row alignment survive packing)."""
+    cfg, p = pipe
+    banks = AugmentBanks.from_arrays(
+        noise_clips=[rng.randn(5000).astype(np.float32)],
+        ir_clips=[np.r_[1.0, rng.randn(15) * 0.1].astype(np.float32)],
+        noise_len=5000, ir_len=16,
+    )
+    tracks = [rng.randn(3000).astype(np.float32) * 0.3 for _ in range(5)]
+
+    class L:
+        def __len__(self):
+            return len(tracks)
+
+        def __iter__(self):
+            return iter(tracks)
+
+    d1, d3 = tmp_path / "q1", tmp_path / "q3"
+    d1.mkdir(), d3.mkdir()
+    n1, _ = create_fp_db(L(), p, banks, str(d1), seed=0, verbose=False,
+                         pack=1)
+    n3, _ = create_fp_db(L(), p, banks, str(d3), seed=0, verbose=False,
+                         pack=3)
+    assert n1 == n3
+    for fname in ("db", "query"):
+        a, _ = load_memmap_data(str(d1), fname, display=False)
+        b, _ = load_memmap_data(str(d3), fname, display=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_create_db_npy(pipe, rng, tmp_path):
     cfg, p = pipe
     fp = create_db(_fake_loader(rng, 2), p, str(tmp_path), verbose=False)
