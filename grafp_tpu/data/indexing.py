@@ -37,7 +37,17 @@ def load_index(
     if os.path.exists(json_path):
         print(f"Loading indices from {json_path}")
         with open(json_path, "r") as fp:
-            return json.load(fp)
+            cached = json.load(fp)
+        # Stale-cache guard (beyond reference util.py:30-34): the cache
+        # is keyed by data_dir BASENAME only, so a cache written for a
+        # different (since-deleted) dir of the same name shadows a fresh
+        # corpus and every load "fails". If none of the first few cached
+        # paths exist while data_dir does, re-index instead.
+        sample = list(cached.values())[:8]
+        if not sample or any(os.path.exists(p) for p in sample):
+            return cached
+        print(f"=>Stale index {json_path} (no cached path exists); "
+              "re-indexing")
 
     fpaths = glob.glob(os.path.join(data_dir, "**/*.*"), recursive=True)
     fpaths = [p for p in fpaths if p.split(".")[-1] in ext]

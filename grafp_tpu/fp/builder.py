@@ -398,7 +398,7 @@ class FingerprintPipeline:
 
 
 def _ordered_overlap(
-    fn: Callable, items: Iterable, workers: int = 3, inflight: int = 4
+    fn: Callable, items: Iterable, workers: int = 4, inflight: int = 8
 ) -> Iterator:
     """Yield ``fn(x)`` for each item IN ORDER while up to ``inflight``
     calls run concurrently in worker threads.
@@ -413,6 +413,13 @@ def _ordered_overlap(
     up front - fatal at fma_large's 106k tracks). Results are yielded
     strictly in submission order: memmap row order - the ground-truth
     contract of the eval - is preserved exactly.
+
+    Defaults measured on-chip (scripts/profile_build_throughput.py,
+    240x20s tracks, two runs): pack8 w4/i8 34.0 & 37.2 tracks/s vs
+    serial pack8 18.4 & 24.5 and serial pack1 28.5 & 32.5; w3/i4
+    varied 28.7-37.7 and w6/i8 32.6-34.1 across runs, so w4/i8 is the
+    consistent pick on this 1-core host. pack1+overlap (32.7-33.0)
+    confirms the pack-8 dispatch still matters under overlap.
     """
     with ThreadPoolExecutor(max_workers=workers) as ex:
         pending = deque()

@@ -71,6 +71,7 @@ def main():
                                    "config", "grafp.yaml"))
     cfg["train_dir"] = cfg["val_dir"] = wav_dir
     cfg["val_sz"] = args.tracks
+    cfg["data_dir"] = root  # isolate the index cache from repo data/
 
     ds = FingerprintDataset(cfg, path=wav_dir, train=False)
     idx = list(range(len(ds)))
@@ -127,19 +128,22 @@ def main():
     if args.sweep:
         from grafp_tpu.fp.builder import (_chunks, _ordered_overlap,
                                           _track_getters)
-        for workers, inflight in ((3, 4), (4, 8), (6, 8)):
-            def _group(getters):
+        combos = [(args.pack, 3, 4), (args.pack, 4, 8), (args.pack, 6, 8)]
+        if args.ab:  # pack1 program already compiled by the A/B phase
+            combos += [(1, 4, 8), (1, 6, 8)]
+        for pack, workers, inflight in combos:
+            def _group(getters, _pack=pack):
                 waves = [g() if callable(g) else g for g in getters]
-                return pipe.fingerprint_tracks(waves, pack=args.pack)
+                return pipe.fingerprint_tracks(waves, pack=_pack)
 
             t0 = time.perf_counter()
             rows = 0
             for zs in _ordered_overlap(
-                    _group, _chunks(_track_getters(loader), args.pack),
+                    _group, _chunks(_track_getters(loader), pack),
                     workers=workers, inflight=inflight):
                 rows += sum(len(z) for z in zs)
             dt = time.perf_counter() - t0
-            tag = f"pack{args.pack}_w{workers}i{inflight}"
+            tag = f"pack{pack}_w{workers}i{inflight}"
             results[tag] = {"tracks_s": round(len(ds) / dt, 2),
                             "fp_s": round(rows / dt, 1),
                             "wall_s": round(dt, 1)}

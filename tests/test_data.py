@@ -132,6 +132,31 @@ def test_load_index_glob_and_cache(tmp_path):
     assert idx3 == idx
 
 
+def test_load_index_stale_cache_reindexes(tmp_path):
+    """The index cache is keyed by data_dir BASENAME (reference
+    util.py:30-34): a cache written for a same-named, since-deleted dir
+    must not shadow a fresh corpus (it did: every load 'failed' and the
+    dataset came up empty)."""
+    wavs = make_wav_dir(str(tmp_path / "audio"), n=4, dur_s=0.2)
+    cfg = Config(train_sz=4, data_dir=str(tmp_path / "cache"))
+    os.makedirs(cfg.data_dir, exist_ok=True)
+    stale = {str(i): f"/tmp/gone_{i}/audio/x_{i}.wav" for i in range(4)}
+    with open(os.path.join(cfg.data_dir, "audio.json"), "w") as fp:
+        json.dump(stale, fp)
+    idx = load_index(cfg, str(tmp_path / "audio"), mode="train")
+    assert all(os.path.exists(p) for p in idx.values())
+    # and the rewritten cache is the fresh one
+    with open(os.path.join(cfg.data_dir, "audio.json")) as fp:
+        assert json.load(fp) == idx
+    # a cache with at least one live path is kept verbatim (protocol
+    # fixtures must never be silently rewritten)
+    partial = dict(idx)
+    partial["0"] = "/tmp/gone/audio/x.wav"
+    with open(os.path.join(cfg.data_dir, "audio.json"), "w") as fp:
+        json.dump(partial, fp)
+    assert load_index(cfg, str(tmp_path / "audio"), mode="train") == partial
+
+
 def test_load_augmentation_index_split(tmp_path):
     make_wav_dir(str(tmp_path / "noise"), n=10, dur_s=0.1, kind="noise")
     ds = load_augmentation_index(str(tmp_path / "noise"), splits=0.8)
